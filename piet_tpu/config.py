@@ -1,0 +1,107 @@
+"""Render configuration for piet-tpu.
+
+Mirrors the reference's compile-time configuration header
+(reference: TestApp/PietShaderTypes.h:17-32), but as a runtime dataclass so a
+single build supports many tile geometries, and so benchmark configs are
+driven by data instead of recompiles.
+
+TPU-first choices vs the reference:
+
+* The reference uses 16x16-pixel tiles because that is the natural Metal
+  threadgroup shape.  On TPU the natural fine-raster block is a VPU register
+  tile: 8 sublanes x 128 lanes.  We therefore default to **16x128-pixel
+  tiles** (two f32 vregs per per-pixel state array) -- the binning/coverage
+  algorithm is tile-size-parametric, so this is a pure layout decision.
+* PTCL capacity is an explicit array dimension (``cmd_capacity``) instead of
+  a byte budget; overflow is *detected and reported* (the reference's 4096-
+  byte cap silently corrupts -- PietShaderTypes.h:24-27 "for production we'd
+  want a mechanism to overflow").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Geometry/capacity configuration for one compiled renderer.
+
+    All sizes are static under ``jax.jit``; changing any field triggers a
+    recompile (by design -- shapes must be static for XLA).
+    """
+
+    # Viewport, in pixels. Padded internally to a whole number of tiles.
+    width: int = 1024
+    height: int = 1024
+
+    # Fine-raster tile size in pixels (reference: 16x16 via
+    # PietShaderTypes.h:17-18). TPU default: 16 rows x 128 cols so per-pixel
+    # state arrays are exactly (16, 128) f32 = 2 vregs.
+    tile_height: int = 16
+    tile_width: int = 128
+
+    # Max commands per tile PTCL (reference: 4096 B / 24 B = 170 cmds,
+    # PietShaderTypes.h:24-27). Must be a multiple of 16 so the flattened
+    # (tiles, cap * 8) f32 arg array keeps a 128-lane-aligned minor dim.
+    cmd_capacity: int = 320
+
+    # Capacity buckets for scene padding (recompilation trap avoidance,
+    # SURVEY.md section 7 "hard parts" item 6).
+    max_items: int = 1 << 11      # scene items (fills/polys/lines/circles)
+    max_points: int = 1 << 16     # flattened points across all items
+    max_segments: int = 1 << 16   # derived segments (points incl. fill wrap)
+
+    # Capacity for expanded (segment x tile) hit records and per-(item,tile)
+    # candidate records in the coarse/binning pass.
+    max_hits: int = 1 << 20
+    max_candidates: int = 1 << 18
+
+    # Capacity for per-row winding (backdrop) delta records.
+    max_deltas: int = 1 << 18
+
+    def __post_init__(self):
+        if self.cmd_capacity % 16:
+            raise ValueError("cmd_capacity must be a multiple of 16")
+        if self.tile_width <= 0 or self.tile_height <= 0:
+            raise ValueError("tile size must be positive")
+
+    # -- derived tile-grid geometry -------------------------------------
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.width // self.tile_width)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.height // self.tile_height)
+
+    @property
+    def n_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def padded_width(self) -> int:
+        return self.tiles_x * self.tile_width
+
+    @property
+    def padded_height(self) -> int:
+        return self.tiles_y * self.tile_height
+
+    def with_viewport(self, width: int, height: int) -> "RenderConfig":
+        return dataclasses.replace(self, width=width, height=height)
+
+
+#: Reference-compatible configuration: 16x16 tiles, 170-cmd PTCL, used by the
+#: parity test-suite so our CPU tiler can be compared against the reference's
+#: exact tiling geometry (PietShaderTypes.h:17-27).
+REFERENCE_CONFIG = RenderConfig(tile_height=16, tile_width=16, cmd_capacity=176)
+
+# Scene-level constants shared with the reference implementation.
+TOLERANCE: float = 0.1          # flattening tolerance (src/lib.rs:330)
+THIN_LINE: float = 0.7          # thin-stroke clamp width (src/lib.rs:351)
+TIGER_SCALE: float = 8.0        # demo scene scale (src/lib.rs:287)

@@ -1,0 +1,188 @@
+"""Fixture and benchmark scenes.
+
+The reference keeps three switchable fixtures of increasing complexity
+(src/lib.rs:256-284,369-373); we keep those plus the driver BASELINE.json
+benchmark configs (1k circles + rounded-rect strokes, 10k random cubic
+Beziers, glyph page, animated scenes).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from ..config import TOLERANCE
+from ..geometry import Affine, BezPath, flatten_path
+from .scene import Scene, SceneBuilder
+
+
+def make_path_test() -> Scene:
+    """One filled triangle (reference src/lib.rs:272-284)."""
+    b = SceneBuilder()
+    b.begin_group(1)
+    b.fill([(10.0, 10.0), (15.0, 800.0), (300.0, 500.0)], 0x80E0)
+    b.end_group()
+    return b.build()
+
+
+def make_cardioid(n: int = 97, center=(1024.0, 768.0), r: float = 750.0
+                  ) -> Scene:
+    """Circles + chord lines tracing a cardioid (reference src/lib.rs:256-270)."""
+    b = SceneBuilder()
+    b.begin_group((n - 1) * 2)
+    dth = math.pi * 2.0 / n
+    for i in range(1, n):
+        th0 = i * dth
+        th1 = ((i * 2) % n) * dth
+        p0 = (center[0] + math.cos(th0) * r, center[1] + math.sin(th0) * r)
+        p1 = (center[0] + math.cos(th1) * r, center[1] + math.sin(th1) * r)
+        b.circle(p0[0], p0[1], 8.0)
+        b.stroke_line(p0, p1, 2.0, 0x000080E0)
+    b.end_group()
+    return b.build()
+
+
+def _rounded_rect_path(x: float, y: float, w: float, h: float,
+                       r: float) -> BezPath:
+    """Rounded rectangle as four lines + four quarter-circle cubics."""
+    k = r * (4.0 / 3.0) * (math.sqrt(2.0) - 1.0)
+    p = BezPath()
+    p.move_to((x + r, y))
+    p.line_to((x + w - r, y))
+    p.curve_to((x + w - r + k, y), (x + w, y + r - k), (x + w, y + r))
+    p.line_to((x + w, y + h - r))
+    p.curve_to((x + w, y + h - r + k), (x + w - r + k, y + h), (x + w - r, y + h))
+    p.line_to((x + r, y + h))
+    p.curve_to((x + r - k, y + h), (x, y + h - r + k), (x, y + h - r))
+    p.line_to((x, y + r))
+    p.curve_to((x, y + r - k), (x + r - k, y), (x + r, y))
+    return p
+
+
+def make_circles_rects(n_circles: int = 1000, n_rects: int = 1000,
+                       size: int = 1024, seed: int = 7) -> Scene:
+    """BASELINE config 2: 1k circles + 1k rounded-rect strokes."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    b.begin_group()
+    for _ in range(n_circles):
+        cx, cy = rng.uniform(0, size, 2)
+        b.circle(float(cx), float(cy), float(rng.uniform(2, 24)))
+    for _ in range(n_rects):
+        x, y = rng.uniform(0, size * 0.9, 2)
+        w, h = rng.uniform(16, size * 0.1, 2)
+        r = float(rng.uniform(2, min(w, h) / 2))
+        path = _rounded_rect_path(float(x), float(y), float(w), float(h), r)
+        color = (int(rng.integers(0, 1 << 24)) << 8) | 0xFF
+        b.stroke_path(flatten_path(path, TOLERANCE),
+                      float(rng.uniform(0.5, 6.0)), color)
+    b.end_group()
+    return b.build()
+
+
+def make_random_beziers(n: int = 10000, size: int = 1024, seed: int = 11,
+                        fill_fraction: float = 0.5) -> Scene:
+    """BASELINE config 3: 10k random cubic Beziers (stress test for binning).
+
+    Each item is a single flattened cubic; half are filled (implicitly
+    closed), half are stroked.
+    """
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    b.begin_group()
+    for i in range(n):
+        base = rng.uniform(0, size, 2)
+        ctrl = base + rng.uniform(-size * 0.05, size * 0.05, (3, 2))
+        path = BezPath()
+        path.move_to((float(base[0]), float(base[1])))
+        path.curve_to(tuple(ctrl[0]), tuple(ctrl[1]), tuple(ctrl[2]))
+        sub = flatten_path(path, TOLERANCE)
+        color = (int(rng.integers(0, 1 << 24)) << 8) | int(rng.integers(64, 256))
+        if i % 2 == 0 and fill_fraction > 0:
+            b.fill_path(sub, color)
+        else:
+            b.stroke_path(sub, float(rng.uniform(0.5, 4.0)), color)
+    b.end_group()
+    return b.build()
+
+
+# A tiny built-in vector "font": glyph outlines as unit-box (0..1) polygons,
+# enough to exercise a text page workload without shipping a font file.
+_GLYPH_POLYS = {
+    "box": [(0.1, 0.1), (0.9, 0.1), (0.9, 0.9), (0.1, 0.9)],
+    "tri": [(0.5, 0.05), (0.95, 0.9), (0.05, 0.9)],
+    "dia": [(0.5, 0.02), (0.95, 0.5), (0.5, 0.98), (0.05, 0.5)],
+    "chv": [(0.1, 0.1), (0.9, 0.5), (0.1, 0.9), (0.35, 0.5)],
+    "bar": [(0.4, 0.05), (0.6, 0.05), (0.6, 0.95), (0.4, 0.95)],
+}
+
+
+def make_glyph_page(n_glyphs: int = 5000, size: int = 1024, seed: int = 3
+                    ) -> Scene:
+    """BASELINE config 4: a text-page-like field of small filled glyphs."""
+    rng = np.random.default_rng(seed)
+    glyphs = list(_GLYPH_POLYS.values())
+    em = max(4.0, size / math.ceil(math.sqrt(n_glyphs * 1.3)))
+    cols = int(size / em)
+    b = SceneBuilder()
+    b.begin_group()
+    for i in range(n_glyphs):
+        gx = (i % cols) * em
+        gy = (i // cols) * em
+        poly = glyphs[int(rng.integers(0, len(glyphs)))]
+        pts = [(gx + px * em * 0.9, gy + py * em * 0.9) for px, py in poly]
+        b.fill(pts, 0x000000FF)
+    b.end_group()
+    return b.build()
+
+
+def make_animated_frame(t: float, size: int = 1024, n: int = 200,
+                        seed: int = 5) -> Scene:
+    """BASELINE config 5: one frame of an animated clip (rotating strokes +
+    orbiting filled blobs with varying alpha) -- exercises per-frame
+    re-encode + render (the reference only re-encoded on resize,
+    PietRenderer.m:105-146)."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    b.begin_group()
+    centers = rng.uniform(size * 0.1, size * 0.9, (n, 2))
+    radii = rng.uniform(size * 0.02, size * 0.08, n)
+    phases = rng.uniform(0, 2 * math.pi, n)
+    for i in range(n):
+        cx, cy = centers[i]
+        th = phases[i] + t * (1.0 + 0.2 * (i % 7))
+        r = radii[i]
+        ox = cx + math.cos(th) * r
+        oy = cy + math.sin(th) * r
+        k = 12
+        pts = [(ox + math.cos(2 * math.pi * j / k + th) * r * 0.5,
+                oy + math.sin(2 * math.pi * j / k + th) * r * 0.5)
+               for j in range(k)]
+        alpha = int(96 + 96 * math.sin(t + phases[i])) & 0xFF
+        color = (int(rng.integers(0, 1 << 24)) << 8) | alpha
+        if i % 3 == 0:
+            b.polyline(pts + [pts[0]], color, 2.0 + (i % 5))
+        else:
+            b.fill(pts, color)
+    b.end_group()
+    return b.build()
+
+
+SCENES = {
+    "path_test": make_path_test,
+    "cardioid": make_cardioid,
+    "circles_rects": make_circles_rects,
+    "beziers_10k": make_random_beziers,
+    "glyph_page": make_glyph_page,
+}
+
+
+def get_scene(name: str, **kwargs) -> Scene:
+    if name == "tiger":
+        from .svg import make_tiger
+        return make_tiger(**kwargs)
+    if name == "animated":
+        return make_animated_frame(kwargs.pop("t", 0.0), **kwargs)
+    return SCENES[name](**kwargs)

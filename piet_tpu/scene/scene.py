@@ -1,0 +1,194 @@
+"""Struct-of-arrays scene representation and builder.
+
+This is the TPU-native replacement for the reference's flat byte buffer +
+bump-allocating ``Encoder`` (reference: src/lib.rs:79-254).  Same item
+semantics and the same public surface (begin_group / circle / stroke_line /
+fill / polyline / end_group), but the storage is typed packed arrays directly
+consumable by XLA gathers instead of a byte-addressed heterogeneous heap.
+
+Item model (tags match reference src/lib.rs:70-77 / GenTypes.h:325-328):
+  1 = Circle           : bbox only (color is not encoded; circles render
+                         black -- a documented reference quirk,
+                         PietRender.metal:488-492)
+  2 = Line             : one stroked segment; width, color; 2 points
+  3 = Fill             : closed polygon (implicit wrap last->first); color
+  4 = StrokePolyLine   : open polyline stroke; width, color
+
+Bounding boxes are quantized exactly like ``ShortBbox::from_rect``
+(src/lib.rs:88-97): floor(min)/ceil(max), clamped to [0, 65535].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+TAG_CIRCLE = 1
+TAG_LINE = 2
+TAG_FILL = 3
+TAG_POLY = 4
+
+from ..config import THIN_LINE
+
+
+def quantize_bbox(x0: float, y0: float, x1: float, y1: float
+                  ) -> Tuple[int, int, int, int]:
+    """u16 bbox quantization, identical to ShortBbox::from_rect."""
+    def clamp(v):
+        return int(min(max(v, 0.0), 65535.0))
+    return (clamp(math.floor(x0)), clamp(math.floor(y0)),
+            clamp(math.ceil(x1)), clamp(math.ceil(y1)))
+
+
+@dataclasses.dataclass
+class Scene:
+    """Immutable SoA scene: the unit handed to the renderer.
+
+    Shapes: ``tags/colors/widths/pt_offset/n_pts`` are (N,); ``bboxes`` is
+    (N, 4) int32 in x0,y0,x1,y1 order; ``points`` is (M, 2) float32.  All
+    items (including lines) store their geometry in ``points`` -- the wire
+    serializer re-inlines line endpoints for byte parity (scene/wire.py).
+    """
+
+    tags: np.ndarray
+    colors: np.ndarray      # logical 0xRRGGBBAA, uint32
+    widths: np.ndarray      # float32; 0 for fills/circles
+    bboxes: np.ndarray      # (N, 4) int32, quantized u16 range
+    pt_offset: np.ndarray   # int32 index into points
+    n_pts: np.ndarray       # int32
+    points: np.ndarray      # (M, 2) float32
+
+    @property
+    def n_items(self) -> int:
+        return int(self.tags.shape[0])
+
+    @property
+    def n_points(self) -> int:
+        return int(self.points.shape[0])
+
+    def validate(self) -> None:
+        n = self.n_items
+        assert self.colors.shape == (n,)
+        assert self.widths.shape == (n,)
+        assert self.bboxes.shape == (n, 4)
+        assert self.pt_offset.shape == (n,)
+        assert self.n_pts.shape == (n,)
+        assert self.points.ndim == 2 and self.points.shape[1] == 2
+        ends = self.pt_offset + self.n_pts
+        assert (ends <= self.n_points).all()
+
+
+class SceneBuilder:
+    """Builds a `Scene`; mirrors the reference Encoder API.
+
+    Unlike the reference (which requires the item count up front --
+    ``begin_group(n_items)``, src/lib.rs:132-144), the builder accumulates
+    dynamically; ``begin_group``/``end_group`` are kept for API parity and
+    as an invariant check when a count is declared.
+    """
+
+    def __init__(self) -> None:
+        self._tags: List[int] = []
+        self._colors: List[int] = []
+        self._widths: List[float] = []
+        self._bboxes: List[Tuple[int, int, int, int]] = []
+        self._pt_offset: List[int] = []
+        self._n_pts: List[int] = []
+        self._points: List[Tuple[float, float]] = []
+        self._declared: int = -1
+
+    # -- group API (parity with src/lib.rs:132-149) ---------------------
+    def begin_group(self, n_items: int = -1) -> None:
+        self._declared = n_items
+
+    def end_group(self) -> None:
+        if self._declared >= 0 and self._declared != len(self._tags):
+            raise ValueError(
+                f"group declared {self._declared} items, got {len(self._tags)}")
+        self._declared = -1
+
+    # -- item encoders ---------------------------------------------------
+    def _add_points(self, points: Sequence[Tuple[float, float]]) -> Tuple[int, Tuple[float, float, float, float]]:
+        if len(points) == 0:
+            raise ValueError("encoded empty points vector")
+        off = len(self._points)
+        xs = [p[0] for p in points]
+        ys = [p[1] for p in points]
+        self._points.extend((float(x), float(y)) for x, y in points)
+        return off, (min(xs), min(ys), max(xs), max(ys))
+
+    def _add_item(self, tag: int, color: int, width: float,
+                  off: int, n: int, bbox) -> None:
+        self._tags.append(tag)
+        self._colors.append(color & 0xFFFFFFFF)
+        self._widths.append(float(width))
+        self._bboxes.append(quantize_bbox(*bbox))
+        self._pt_offset.append(off)
+        self._n_pts.append(n)
+
+    def circle(self, cx: float, cy: float, r: float) -> None:
+        """Encode a circle (bbox only, like src/lib.rs:167-174)."""
+        off, _ = self._add_points([(cx - r, cy - r), (cx + r, cy + r)])
+        self._add_item(TAG_CIRCLE, 0, 0.0, off, 2,
+                       (cx - r, cy - r, cx + r, cy + r))
+
+    def stroke_line(self, p0, p1, width: float, rgba: int) -> None:
+        """Single stroked line; bbox inflated by width/2 (src/lib.rs:177-192)."""
+        off, (x0, y0, x1, y1) = self._add_points([p0, p1])
+        hw = float(np.float32(width) * np.float32(0.5))
+        self._add_item(TAG_LINE, rgba, width, off, 2,
+                       (x0 - hw, y0 - hw, x1 + hw, y1 + hw))
+
+    def fill(self, points: Sequence[Tuple[float, float]], rgba: int) -> None:
+        """Filled polygon, implicit closure (src/lib.rs:195-207)."""
+        off, bbox = self._add_points(points)
+        self._add_item(TAG_FILL, rgba, 0.0, off, len(points), bbox)
+
+    def polyline(self, points: Sequence[Tuple[float, float]], rgba: int,
+                 width: float) -> None:
+        """Stroked polyline; bbox inflated by width/2 (src/lib.rs:209-222)."""
+        off, (x0, y0, x1, y1) = self._add_points(points)
+        hw = float(np.float32(width) * np.float32(0.5))
+        self._add_item(TAG_POLY, rgba, width, off, len(points),
+                       (x0 - hw, y0 - hw, x1 + hw, y1 + hw))
+
+    def stroke_path(self, subpaths: Sequence[Sequence[Tuple[float, float]]],
+                    width: float, rgba: int) -> None:
+        """Stroke flattened subpaths with the reference's thin-line fudge.
+
+        Widths below THIN_LINE are clamped to THIN_LINE and alpha is scaled
+        by sqrt(width/THIN_LINE) -- truncating to int like Rust's ``as u32``
+        (src/lib.rs:353-367).
+        """
+        width = float(np.float32(width))
+        if width < THIN_LINE:
+            # All-f32 arithmetic and truncating cast, matching the Rust.
+            alpha = np.float32(rgba & 0xFF) * np.sqrt(
+                np.float32(width) / np.float32(THIN_LINE), dtype=np.float32)
+            rgba = (rgba & ~0xFF) | (int(alpha) & 0xFF)
+            width = THIN_LINE
+        for sp in subpaths:
+            self.polyline(sp, rgba, width)
+
+    def fill_path(self, subpaths: Sequence[Sequence[Tuple[float, float]]],
+                  rgba: int) -> None:
+        """Fill flattened subpaths, one Fill item each (src/lib.rs:342-347)."""
+        for sp in subpaths:
+            self.fill(sp, rgba)
+
+    def build(self) -> Scene:
+        n = len(self._tags)
+        scene = Scene(
+            tags=np.asarray(self._tags, np.int32),
+            colors=np.asarray(self._colors, np.uint32),
+            widths=np.asarray(self._widths, np.float32),
+            bboxes=np.asarray(self._bboxes, np.int32).reshape(n, 4),
+            pt_offset=np.asarray(self._pt_offset, np.int32),
+            n_pts=np.asarray(self._n_pts, np.int32),
+            points=np.asarray(self._points, np.float32).reshape(-1, 2),
+        )
+        scene.validate()
+        return scene
