@@ -1,0 +1,175 @@
+"""CPU golden fine rasterizer: PTCL -> pixels, the image oracle.
+
+Implements exactly the per-pixel command interpreter of the reference's
+``renderKernel`` (PietRender.metal:457-566), vectorized over a tile's pixel
+block in float32 numpy:
+
+* distance-field strokes  (stroke() :49-55, renderDf :58-60)
+* exact trapezoid coverage fills + winding  (:508-528, :535-545)
+* left-edge backdrop correction  (CmdFillEdge, :530-534)
+* circles  (:481-493, blended black -- color is never encoded, a reference
+  quirk), solids, and the in-shader linear->sRGB encode (:563)
+
+Precision policy (applies identically to the Pallas kernel, ops/fine.py):
+float32 throughout.  The reference mixes f32 positions with f16 color and
+coverage accumulators (``half signedArea``, PietRender.metal:472, with an
+acknowledged accuracy TODO at :525); TPU has no f16 and bf16 would band
+visibly, so piet-tpu runs the whole pipeline in f32 -- a strict quality
+improvement, encoded once here so the oracle and the device kernel agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..config import RenderConfig
+from ..scene.color import linear_to_srgb
+from .ptcl import (CMD_CIRCLE, CMD_DRAW_FILL, CMD_FILL, CMD_FILL_EDGE,
+                   CMD_LINE, CMD_SOLID, CMD_STROKE, Ptcl)
+
+F = np.float32
+DF_INIT = F(1e9)
+
+
+def _saturate(v: np.ndarray) -> np.ndarray:
+    return np.clip(v, F(0.0), F(1.0))
+
+
+def render_tile(tags: np.ndarray, args: np.ndarray, count: int,
+                x0: float, y0: float, th: int, tw: int) -> np.ndarray:
+    """Interpret one tile's command list; returns (th, tw, 3) linear f32."""
+    xs = (F(x0) + np.arange(tw, dtype=F))[None, :]
+    ys = (F(y0) + np.arange(th, dtype=F))[:, None]
+    X = np.broadcast_to(xs, (th, tw)).astype(F)
+    Y = np.broadcast_to(ys, (th, tw)).astype(F)
+
+    rgb = np.ones((th, tw, 3), F)
+    df = np.full((th, tw), DF_INIT, F)
+    area = np.zeros((th, tw), F)
+
+    for i in range(count):
+        tag = int(tags[i])
+        av = args[i]
+        if tag == CMD_CIRCLE:
+            bx0, by0, bx1, by1 = (F(v) for v in av[:4])
+            cx = bx0 + F(0.5) * (bx1 - bx0)
+            cy = by0 + F(0.5) * (by1 - by0)
+            r = np.sqrt((X - cx) ** 2 + (Y - cy) ** 2, dtype=F)
+            circle_r = min(cx - bx0, cy - by0)
+            alpha = _saturate(circle_r - r)
+            rgb = rgb * (F(1.0) - alpha)[..., None]  # mix toward black
+        elif tag == CMD_LINE:
+            sx, sy, ex, ey = (F(v) for v in av[:4])
+            lvx, lvy = ex - sx, ey - sy
+            dpx, dpy = X - sx, Y - sy
+            denom = lvx * lvx + lvy * lvy
+            # Degenerate (zero-length) segments render as dots (t=0) rather
+            # than relying on the reference's NaN-dropping fmin behavior
+            # (PietRender.metal:52 would produce NaN there) -- NaN semantics
+            # differ between numpy/jnp minimum, so we define this case.
+            t = _saturate((lvx * dpx + lvy * dpy)
+                          / denom) if denom > 0 else np.zeros_like(X)
+            fx = lvx * t - dpx
+            fy = lvy * t - dpy
+            field = np.sqrt(fx * fx + fy * fy, dtype=F)
+            df = np.minimum(df, field)
+        elif tag == CMD_STROKE:
+            half_width = F(av[0])
+            fg = av[1:5].astype(F)
+            alpha = _saturate(half_width + F(0.5) - df)
+            w = (fg[3] * alpha)[..., None]
+            rgb = rgb + (fg[None, None, :3] - rgb) * w
+            df = np.full_like(df, DF_INIT)
+        elif tag == CMD_FILL:
+            sx, sy, ex, ey = (F(v) for v in av[:4])
+            rsx, rsy = sx - X, sy - Y
+            rex, rey = ex - X, ey - Y
+            w0 = _saturate(rsy)
+            w1 = _saturate(rey)
+            mask = w0 != w1
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dy = rey - rsy
+                t0 = (w0 - rsy) / dy
+                t1 = (w1 - rsy) / dy
+                xs0 = rsx + (rex - rsx) * t0
+                xs1 = rsx + (rex - rsx) * t1
+                xmin = np.minimum(np.minimum(xs0, xs1), F(1.0)) - F(1e-6)
+                xmax = np.maximum(xs0, xs1)
+                bq = np.minimum(xmax, F(1.0))
+                cq = np.maximum(bq, F(0.0))
+                dq = np.maximum(xmin, F(0.0))
+                a_cov = (bq + F(0.5) * (dq * dq - cq * cq) - xmin) / (xmax - xmin)
+                # The reference's 1e-6 fudge (PietRender.metal:517-519,
+                # acknowledged "might be inadequate when xmax is large") is
+                # below one ulp for |x| > ~8, collapsing xmax - xmin to 0 and
+                # producing 0/0 = NaN, which Metal silently rescues via
+                # fmin(NaN, 1) = 1.  We substitute the exact analytic limit
+                # for a width-collapsed column: 1 - clamp(x, 0, 1).
+                a_cov = np.where(xmax > xmin, a_cov,
+                                 F(1.0) - _saturate(xs0))
+                delta = a_cov * (w0 - w1)
+            area = np.where(mask, area + delta.astype(F), area)
+        elif tag == CMD_FILL_EDGE:
+            sgn, ye = F(av[0]), F(av[1])
+            area = area + sgn * _saturate(Y - ye + F(1.0))
+        elif tag == CMD_DRAW_FILL:
+            backdrop = F(av[0])
+            fg = av[1:5].astype(F)
+            alpha = np.minimum(np.abs(area + backdrop), F(1.0))  # nonzero winding
+            w = (fg[3] * alpha)[..., None]
+            rgb = rgb + (fg[None, None, :3] - rgb) * w
+            area = np.zeros_like(area)
+        elif tag == CMD_SOLID:
+            fg = av[:4].astype(F)
+            w = fg[3]
+            rgb = rgb + (fg[None, None, :3] - rgb) * w
+        else:
+            raise ValueError(f"unknown ptcl tag {tag}")
+    return rgb
+
+
+def finish_pixels(rgb_linear: np.ndarray) -> np.ndarray:
+    """Linear f32 -> sRGB-encoded RGBA8 (alpha 255), reference formula."""
+    srgb = linear_to_srgb(np.clip(rgb_linear, 0.0, 1.0))
+    out = np.empty(rgb_linear.shape[:-1] + (4,), np.uint8)
+    out[..., :3] = np.round(srgb * F(255.0)).astype(np.uint8)
+    out[..., 3] = 255
+    return out
+
+
+def solid_pixels(solid: int, th: int, tw: int) -> np.ndarray:
+    """Bail fast path: the raw sRGB color bytes, as the present pass does
+    (PietRender.metal:34-44 -- no decode/encode roundtrip)."""
+    r = (solid >> 24) & 0xFF
+    g = (solid >> 16) & 0xFF
+    b = (solid >> 8) & 0xFF
+    a = solid & 0xFF
+    return np.broadcast_to(
+        np.array([r, g, b, a], np.uint8), (th, tw, 4)).copy()
+
+
+def cpu_render_ptcl(ptcl: Ptcl, config: RenderConfig) -> np.ndarray:
+    """Render all tiles; returns (height, width, 4) uint8 RGBA."""
+    th, tw = config.tile_height, config.tile_width
+    img = np.zeros((config.padded_height, config.padded_width, 4), np.uint8)
+    for ty in range(config.tiles_y):
+        for tx in range(config.tiles_x):
+            t = ty * config.tiles_x + tx
+            ys, xs = ty * th, tx * tw
+            if ptcl.solid[t]:
+                img[ys:ys + th, xs:xs + tw] = solid_pixels(
+                    int(ptcl.solid[t]), th, tw)
+            else:
+                rgb = render_tile(ptcl.tags[t], ptcl.args[t],
+                                  int(ptcl.counts[t]), xs, ys, th, tw)
+                img[ys:ys + th, xs:xs + tw] = finish_pixels(rgb)
+    return img[:config.height, :config.width]
+
+
+def cpu_render_scene(scene, config: RenderConfig) -> np.ndarray:
+    """Full golden path: CPU tiler + CPU fine rasterizer."""
+    from .cpu_tiler import cpu_tile_scene
+    return cpu_render_ptcl(cpu_tile_scene(scene, config), config)

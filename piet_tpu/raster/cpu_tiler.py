@@ -1,0 +1,203 @@
+"""CPU golden tiler: Scene -> PTCL, the binning oracle.
+
+Implements exactly the per-tile command-generation math of the reference's
+``tileKernel`` (PietRender.metal:160-454), with the SIMT ballot machinery
+removed: the ballots/strip culls there exist to skip work under divergence
+and are output-invariant (any segment they cull generates no commands for
+any tile in the strip), so the oracle visits, per tile, every item whose
+quantized bbox hits the tile, in scene order, and applies the reference's
+per-tile tests verbatim:
+
+* item bbox hit:  bbox.x1 >= x0 && bbox.x0 < x0+tw && bbox.y1 >= y0 &&
+  bbox.y0 < y0+th  (PietRender.metal:214)
+* fills: per-segment y-cull (:265), left-ray backdrop via the line-equation
+  sign test (:326-333), left-edge crossing emitting CmdFillEdge + a clipped
+  CmdFill (:334-344), 4-corner sign cull for plain CmdFill (:345-353),
+  trailing CmdDrawFill / CmdSolid (:359-363)
+* polylines: bbox + 4-corner cull inflated by hw = width/2 + 0.5 (:411-435),
+  trailing CmdStroke (:441-443)
+* lines: 4-corner cull with the same inflation (:223-247)
+* circles: bbox only (:218-222)
+
+All arithmetic is float32 (Metal ``float``), and the identical formulas are
+implemented by the XLA coarse pass (ops/coarse.py), so PTCL equivalence is
+testable command-for-command.  Tile size is parametric (the reference
+hard-codes 16x16; our TPU default is 16x128 -- see config.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from ..config import RenderConfig
+from ..scene.scene import (Scene, TAG_CIRCLE, TAG_FILL, TAG_LINE, TAG_POLY)
+from .ptcl import Ptcl, TileCmdEncoder, assemble_ptcl
+
+F = np.float32
+
+
+@dataclasses.dataclass
+class _ItemSegs:
+    """Precomputed f32 segment geometry for one item."""
+    start: np.ndarray  # (S, 2)
+    end: np.ndarray    # (S, 2)
+    xymin: np.ndarray  # (S, 2)
+    xymax: np.ndarray  # (S, 2)
+    a: np.ndarray      # (S,)
+    b: np.ndarray
+    c: np.ndarray
+
+
+def _segments(points: np.ndarray, wrap: bool) -> _ItemSegs:
+    pts = points.astype(F)
+    if wrap:
+        start = pts
+        end = np.roll(pts, -1, axis=0)
+    else:
+        start = pts[:-1]
+        end = pts[1:]
+    a = end[:, 1] - start[:, 1]
+    b = start[:, 0] - end[:, 0]
+    c = -(a * start[:, 0] + b * start[:, 1])
+    return _ItemSegs(start=start, end=end,
+                     xymin=np.minimum(start, end), xymax=np.maximum(start, end),
+                     a=a, b=b, c=c)
+
+
+def _fill_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int,
+               x0: F, y0: F, tw: F, th: F) -> None:
+    """Reference fill logic (PietRender.metal:248-364) for one (item, tile)."""
+    s = seg
+    ycull = (s.xymax[:, 1] >= y0) & (s.xymin[:, 1] < y0 + th)
+    idx = np.nonzero(ycull)[0]
+    if idx.size == 0:
+        return
+    start, end = s.start[idx], s.end[idx]
+    xymin, xymax = s.xymin[idx], s.xymax[idx]
+    a, b, c = s.a[idx], s.b[idx], s.c[idx]
+
+    left = a * x0
+    right = a * (x0 + tw)
+    ytop = np.maximum(y0, xymin[:, 1])
+    ybot = np.minimum(y0 + th, xymax[:, 1])
+    top = b * ytop
+    bot = b * ybot
+    s_top_left = np.sign(left + y0 * b + c)
+    s00 = np.sign(top + left + c)
+    s01 = np.sign(top + right + c)
+    s10 = np.sign(bot + left + c)
+    s11 = np.sign(bot + right + c)
+    four_corner = s00 * s01 + s00 * s10 + s00 * s11 < F(3.0)
+
+    backdrop_mask = (s_top_left == np.sign(a)) & (xymin[:, 1] <= y0)
+    backdrop = -np.sum(s00[backdrop_mask], dtype=F)
+
+    crosses_left = (xymin[:, 0] < x0) & (xymax[:, 0] > x0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_edge = (start[:, 0] - x0) / b
+        y_edge = start[:, 1] + (end[:, 1] - start[:, 1]) * t_edge
+    edge_in_tile = crosses_left & (y_edge >= y0) & (y_edge < y0 + th)
+
+    plain_a = crosses_left & ~edge_in_tile & four_corner
+    plain_b = (~crosses_left & four_corner
+               & (xymin[:, 0] < x0 + tw) & (xymax[:, 0] > x0))
+
+    any_fill = False
+    for k in range(idx.size):
+        if edge_in_tile[k]:
+            enc.fill_edge(s00[k], y_edge[k])
+            if b[k] > 0.0:
+                enc.fill(start[k, 0], start[k, 1], x0, y_edge[k])
+            else:
+                enc.fill(x0, y_edge[k], end[k, 0], end[k, 1])
+            any_fill = True
+        elif plain_a[k] or plain_b[k]:
+            enc.fill(start[k, 0], start[k, 1], end[k, 0], end[k, 1])
+            any_fill = True
+
+    if any_fill:
+        enc.draw_fill(int(backdrop), color)
+    elif backdrop != F(0.0):
+        enc.solid(color)
+
+
+def _poly_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int, width: F,
+               x0: F, y0: F, tw: F, th: F) -> None:
+    """Reference polyline logic (PietRender.metal:366-444)."""
+    hw = F(0.5) * width + F(0.5)
+    s = seg
+    bcull = ((s.xymax[:, 1] > y0 - hw) & (s.xymin[:, 1] < y0 + th + hw)
+             & (s.xymax[:, 0] > x0 - hw) & (s.xymin[:, 0] < x0 + tw + hw))
+    left = s.a * (x0 - hw)
+    right = s.a * (x0 + tw + hw)
+    top = s.b * (y0 - hw)
+    bot = s.b * (y0 + th + hw)
+    s00 = np.sign(top + left + s.c)
+    s01 = np.sign(top + right + s.c)
+    s10 = np.sign(bot + left + s.c)
+    s11 = np.sign(bot + right + s.c)
+    keep = bcull & (s00 * s01 + s00 * s10 + s00 * s11 < F(3.0))
+    any_stroke = False
+    for k in np.nonzero(keep)[0]:
+        enc.line(s.start[k, 0], s.start[k, 1], s.end[k, 0], s.end[k, 1])
+        any_stroke = True
+    if any_stroke:
+        enc.stroke(color, width)
+
+
+def _line_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int, width: F,
+               x0: F, y0: F, tw: F, th: F) -> None:
+    """Reference single-line logic (PietRender.metal:223-247)."""
+    hw = F(0.5) * width + F(0.5)
+    left = seg.a * (x0 - hw)
+    right = seg.a * (x0 + tw + hw)
+    top = seg.b * (y0 - hw)
+    bot = seg.b * (y0 + th + hw)
+    s00 = np.sign(top + left + seg.c)
+    s01 = np.sign(top + right + seg.c)
+    s10 = np.sign(bot + left + seg.c)
+    s11 = np.sign(bot + right + seg.c)
+    if (s00 * s01 + s00 * s10 + s00 * s11 < F(3.0))[0]:
+        enc.line(seg.start[0, 0], seg.start[0, 1], seg.end[0, 0], seg.end[0, 1])
+        enc.stroke(color, width)
+
+
+def cpu_tile_scene(scene: Scene, config: RenderConfig) -> Ptcl:
+    """Bin a scene into per-tile command lists (the golden coarse pass)."""
+    tw, th = F(config.tile_width), F(config.tile_height)
+    tiles_x, tiles_y = config.tiles_x, config.tiles_y
+
+    segs: List[_ItemSegs] = []
+    for i in range(scene.n_items):
+        tag = int(scene.tags[i])
+        off, n = int(scene.pt_offset[i]), int(scene.n_pts[i])
+        pts = scene.points[off:off + n]
+        segs.append(_segments(pts, wrap=(tag == TAG_FILL)))
+
+    bb = scene.bboxes
+    encoders: List[TileCmdEncoder] = []
+    for ty in range(tiles_y):
+        y0 = F(ty) * th
+        for tx in range(tiles_x):
+            x0 = F(tx) * tw
+            enc = TileCmdEncoder(config.cmd_capacity)
+            hit = np.nonzero(
+                (bb[:, 2] >= x0) & (bb[:, 0] < x0 + tw)
+                & (bb[:, 3] >= y0) & (bb[:, 1] < y0 + th))[0]
+            for i in hit:
+                tag = int(scene.tags[i])
+                color = int(scene.colors[i])
+                width = F(scene.widths[i])
+                if tag == TAG_CIRCLE:
+                    enc.circle(bb[i])
+                elif tag == TAG_LINE:
+                    _line_tile(enc, segs[i], color, width, x0, y0, tw, th)
+                elif tag == TAG_FILL:
+                    _fill_tile(enc, segs[i], color, x0, y0, tw, th)
+                elif tag == TAG_POLY:
+                    _poly_tile(enc, segs[i], color, width, x0, y0, tw, th)
+            encoders.append(enc)
+    return assemble_ptcl(encoders, config.cmd_capacity)

@@ -1,0 +1,164 @@
+"""PTCL: per-tile command lists, as fixed-shape arrays.
+
+The reference streams variable-length 24-byte commands into a 4096-byte
+byte buffer per tile (TileEncoder, PietRender.metal:69-157).  The TPU-native
+representation is capacity-padded dense arrays -- directly consumable by a
+Pallas kernel with one tile per grid step:
+
+  tags   (T, CAP)    int32   command tag per slot (reference tag values)
+  args   (T, CAP, 8) float32 command operands (layouts below)
+  counts (T,)        int32   live commands per tile
+  solid  (T,)        uint32  bail color (logical 0xRRGGBBAA); 0 = no bail
+  overflow (T,)      int32   commands dropped per tile (the reference's
+                             unhandled-overflow deficiency, made detectable)
+
+Tag values match the reference PTCL exactly (GenTypes.h:440-495):
+  End=1 Circle=2 Line=3 Fill=4 Stroke=5 FillEdge=6 DrawFill=7 Solid=8 Bail=9
+(End/Bail never appear in the arrays -- `counts`/`solid` carry that state --
+but the numbering is preserved for parity tooling.)
+
+Arg layouts (f32 words; colors are pre-decoded to linear RGB + alpha, a
+command-constant computation the reference redid per pixel,
+PietRender.metal:503,541,548):
+  Circle   [x0, y0, x1, y1]        quantized bbox as floats
+  Line     [x0, y0, x1, y1]
+  Fill     [x0, y0, x1, y1]
+  Stroke   [halfWidth, r, g, b, a]
+  FillEdge [sign, y]
+  DrawFill [backdrop, r, g, b, a]
+  Solid    [r, g, b, a]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..scene.color import decode_color_linear
+
+CMD_END = 1
+CMD_CIRCLE = 2
+CMD_LINE = 3
+CMD_FILL = 4
+CMD_STROKE = 5
+CMD_FILL_EDGE = 6
+CMD_DRAW_FILL = 7
+CMD_SOLID = 8
+CMD_BAIL = 9
+
+ARG_WORDS = 8
+
+
+@dataclasses.dataclass
+class Ptcl:
+    """Dense per-tile command lists for a (tiles_y, tiles_x) grid."""
+
+    tags: np.ndarray      # (T, CAP) int32
+    args: np.ndarray      # (T, CAP, 8) float32
+    counts: np.ndarray    # (T,) int32
+    solid: np.ndarray     # (T,) uint32
+    overflow: np.ndarray  # (T,) int32
+
+    @property
+    def n_tiles(self) -> int:
+        return int(self.tags.shape[0])
+
+    @property
+    def capacity(self) -> int:
+        return int(self.tags.shape[1])
+
+    def tile_commands(self, t: int) -> List[Tuple[int, np.ndarray]]:
+        """Decoded (tag, args) list for one tile -- for tests/debugging."""
+        n = int(self.counts[t])
+        return [(int(self.tags[t, i]), self.args[t, i].copy())
+                for i in range(n)]
+
+
+class TileCmdEncoder:
+    """Python-side equivalent of the reference TileEncoder
+    (PietRender.metal:69-157), used by the CPU golden tiler.
+
+    Replicates the solid-tile optimization exactly: an *opaque* CmdSolid
+    resets the write cursor (everything beneath is occluded) and records the
+    bail color; any other draw command clears the bail state.  A translucent
+    CmdSolid does NOT clear previously-recorded bail state -- a faithful
+    reference quirk (PietRender.metal:127-142: only the opaque branch touches
+    ``solidColor``; draws clear it, translucent solids don't).
+    """
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.cmds: List[Tuple[int, List[float]]] = []
+        # Background: opaque white (PietRender.metal:74).
+        self.solid_color: int = 0xFFFFFFFF
+        self.overflow: int = 0
+
+    def _push(self, tag: int, args: List[float]) -> None:
+        if len(self.cmds) >= self.capacity:
+            self.overflow += 1
+            return
+        self.cmds.append((tag, args))
+
+    @staticmethod
+    def _rgba_linear(rgba: int) -> List[float]:
+        return [float(v) for v in decode_color_linear(np.uint32(rgba))]
+
+    def circle(self, bbox) -> None:
+        self.solid_color = 0
+        self._push(CMD_CIRCLE, [float(v) for v in bbox])
+
+    def line(self, x0: float, y0: float, x1: float, y1: float) -> None:
+        self.solid_color = 0
+        self._push(CMD_LINE, [float(x0), float(y0), float(x1), float(y1)])
+
+    def stroke(self, rgba: int, width: float) -> None:
+        self.solid_color = 0
+        hw = float(np.float32(0.5) * np.float32(width))
+        self._push(CMD_STROKE, [hw] + self._rgba_linear(rgba))
+
+    def fill(self, x0: float, y0: float, x1: float, y1: float) -> None:
+        # Fill coverage commands don't clear bail state by themselves
+        # (TileEncoder.encodeFill leaves solidColor untouched,
+        # PietRender.metal:102-109); the DrawFill that follows does.
+        self._push(CMD_FILL, [float(x0), float(y0), float(x1), float(y1)])
+
+    def fill_edge(self, sign: float, y: float) -> None:
+        self._push(CMD_FILL_EDGE, [float(sign), float(y)])
+
+    def draw_fill(self, backdrop: int, rgba: int) -> None:
+        self.solid_color = 0
+        self._push(CMD_DRAW_FILL, [float(backdrop)] + self._rgba_linear(rgba))
+
+    def solid(self, rgba: int) -> None:
+        if (rgba & 0xFF) == 0xFF:  # opaque (logical alpha is the low byte)
+            self.solid_color = rgba
+            self.cmds.clear()
+            self.overflow = 0
+        self._push(CMD_SOLID, self._rgba_linear(rgba))
+
+    def end(self) -> int:
+        """Returns the bail color (0 = render the command list)."""
+        return self.solid_color
+
+
+def assemble_ptcl(encoders: List[TileCmdEncoder], capacity: int) -> Ptcl:
+    """Pack per-tile encoders into dense arrays."""
+    t = len(encoders)
+    tags = np.zeros((t, capacity), np.int32)
+    args = np.zeros((t, capacity, ARG_WORDS), np.float32)
+    counts = np.zeros((t,), np.int32)
+    solid = np.zeros((t,), np.uint32)
+    overflow = np.zeros((t,), np.int32)
+    for i, enc in enumerate(encoders):
+        solid[i] = enc.end()
+        if solid[i]:
+            continue  # bail: command list is dead (Cmd_Bail semantics)
+        counts[i] = len(enc.cmds)
+        overflow[i] = enc.overflow
+        for j, (tag, a) in enumerate(enc.cmds):
+            tags[i, j] = tag
+            args[i, j, :len(a)] = np.asarray(a, np.float32)
+    return Ptcl(tags=tags, args=args, counts=counts, solid=solid,
+                overflow=overflow)
