@@ -1,0 +1,159 @@
+"""Host orchestration: one-jit scene rendering.
+
+TPU-native equivalent of the reference's ``PietRenderer``
+(TestApp/PietRenderer.m): where the reference encodes a scene into shared
+memory and dispatches three GPU passes per frame (tileKernel -> renderKernel
+-> present, PietRenderer.m:59-103), piet-tpu stages the scene as padded SoA
+device arrays and runs coarse binning + fine rasterization + solid-tile
+composite inside a SINGLE ``jax.jit`` step -- XLA sees the whole frame.
+
+The present pass (reference C11: point sprites painting fully-solid tiles,
+PietRender.metal:16-44) degenerates to a ``jnp.where`` composite between the
+fine image and per-tile bail colors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..ops.coarse import CoarseOutput, DeviceScene, coarse_rasterize
+from ..ops.fine import fine_rasterize
+from ..scene.color import decode_color_linear
+from ..scene.scene import Scene
+
+
+class SceneCapacityError(ValueError):
+    pass
+
+
+def prepare_scene(scene: Scene, config: RenderConfig) -> DeviceScene:
+    """Pad an SoA scene into device arrays (capacity-bucketed, so the
+    compiled executable is reused across scenes/frames -- the reference
+    re-encodes into a fixed 16 MiB buffer for the same reason,
+    PietRenderer.m:52-53)."""
+    ni, np_ = scene.n_items, scene.n_points
+    if ni > config.max_items:
+        raise SceneCapacityError(f"{ni} items > max_items {config.max_items}")
+    if np_ > config.max_points:
+        raise SceneCapacityError(
+            f"{np_} points > max_points {config.max_points}")
+
+    def pad(arr, n, fill=0):
+        out = np.full((n,) + arr.shape[1:], fill, arr.dtype)
+        out[:arr.shape[0]] = arr
+        return out
+
+    colors_lin = decode_color_linear(scene.colors)  # host-side decode: the
+    # CPU oracle and device kernels must agree bit-for-bit on operand values
+    # (pow differs across backends; see tests/test_fine.py).
+    return DeviceScene(
+        tags=jnp.asarray(pad(scene.tags, config.max_items)),
+        colors_u32=jnp.asarray(pad(scene.colors, config.max_items)),
+        colors_lin=jnp.asarray(pad(colors_lin, config.max_items)),
+        widths=jnp.asarray(pad(scene.widths, config.max_items)),
+        bboxes=jnp.asarray(pad(scene.bboxes, config.max_items)),
+        pt_offset=jnp.asarray(pad(scene.pt_offset, config.max_items)),
+        n_pts=jnp.asarray(pad(scene.n_pts, config.max_items)),
+        points=jnp.asarray(pad(scene.points, config.max_points)),
+        n_items=jnp.int32(ni),
+    )
+
+
+def _solid_to_present_u32(solid: jax.Array) -> jax.Array:
+    """Logical 0xRRGGBBAA -> packed framebuffer u32 (R in low byte), i.e.
+    the raw sRGB bytes the present fast path writes (PietRender.metal:34-44).
+    """
+    r = (solid >> 24) & 0xFF
+    g = (solid >> 16) & 0xFF
+    b = (solid >> 8) & 0xFF
+    a = solid & 0xFF
+    return r | (g << 8) | (b << 16) | (a << 24)
+
+
+def make_render_fn(config: RenderConfig, interpret: bool = False):
+    """Build the jitted render step: DeviceScene -> (image_u32, stats).
+
+    image_u32 is (height, width) uint32 packed RGBA8 (R low byte).
+    """
+    tiles_x, tiles_y = config.tiles_x, config.tiles_y
+
+    @jax.jit
+    def render(scene: DeviceScene):
+        coarse = coarse_rasterize(
+            scene, tiles_x=tiles_x, tiles_y=tiles_y,
+            tile_w=config.tile_width, tile_h=config.tile_height,
+            cmd_capacity=config.cmd_capacity,
+            max_segments=config.max_segments, max_hits=config.max_hits,
+            max_candidates=config.max_candidates,
+            max_deltas=config.max_deltas)
+        fine = fine_rasterize(
+            coarse.counts.reshape(tiles_y, tiles_x), coarse.tags, coarse.args,
+            tile_h=config.tile_height, tile_w=config.tile_width,
+            cmd_capacity=config.cmd_capacity, interpret=interpret)
+        # Present composite: bailed tiles take their solid color bytes.
+        solid2d = coarse.solid.reshape(tiles_y, tiles_x)
+        bail2d = solid2d != 0
+        present = _solid_to_present_u32(solid2d)
+        bail_px = jnp.repeat(jnp.repeat(bail2d, config.tile_height, axis=0),
+                             config.tile_width, axis=1)
+        present_px = jnp.repeat(
+            jnp.repeat(present, config.tile_height, axis=0),
+            config.tile_width, axis=1)
+        img = jnp.where(bail_px, present_px, fine)
+        img = img[:config.height, :config.width]
+        stats = {
+            "max_tile_cmds": coarse.counts.max(),
+            "overflow_cmds": coarse.overflow.sum(),
+            "bail_tiles": bail2d.sum(),
+            **coarse.diag,
+        }
+        return img, stats
+
+    return render
+
+
+class Renderer:
+    """User-facing renderer: holds a config and its compiled render step.
+
+    Usage:
+        r = Renderer(RenderConfig(width=1024, height=1024))
+        image = r.render(scene)          # (H, W, 4) uint8 RGBA
+    """
+
+    def __init__(self, config: RenderConfig, interpret: bool = False):
+        self.config = config
+        self._render = make_render_fn(config, interpret=interpret)
+        self.last_stats: Optional[Dict] = None
+
+    def render_u32(self, scene: Scene) -> jax.Array:
+        dev = prepare_scene(scene, self.config)
+        img, stats = self._render(dev)
+        self.last_stats = jax.tree.map(lambda x: np.asarray(x), stats)
+        self._check_capacity(self.last_stats)
+        return img
+
+    def render(self, scene: Scene) -> np.ndarray:
+        img = np.asarray(self.render_u32(scene))
+        return img.view(np.uint8).reshape(self.config.height,
+                                          self.config.width, 4)
+
+    def _check_capacity(self, stats: Dict) -> None:
+        for k in ("seg_overflow", "hit_overflow", "cand_overflow",
+                  "delta_overflow"):
+            if int(stats[k]) > 0:
+                raise SceneCapacityError(
+                    f"coarse capacity exceeded: {k}={int(stats[k])}; "
+                    f"raise the corresponding RenderConfig limit")
+        if int(stats["overflow_cmds"]) > 0:
+            # Per-tile PTCL overflow: detected and reported (the reference
+            # silently corrupts past 4096 B/tile, PietShaderTypes.h:24-27).
+            raise SceneCapacityError(
+                f"PTCL overflow: {int(stats['overflow_cmds'])} commands "
+                f"dropped; raise RenderConfig.cmd_capacity")

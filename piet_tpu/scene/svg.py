@@ -13,6 +13,8 @@ color -- a faithful reference quirk (src/lib.rs:383, one tiger path hits it).
 from __future__ import annotations
 
 import os
+
+import numpy as np
 import xml.etree.ElementTree as ET
 from typing import List, Optional, Tuple
 
@@ -59,7 +61,10 @@ def load_svg_scene(svg_text: str, scale: float = 1.0,
         if fill is not None:
             builder.fill_path(flattened, parse_color(fill))
         if stroke is not None:
-            width = float(node.get("stroke-width")) * scale
+            # f32 multiply, as the reference does (src/lib.rs:319-320:
+            # ``f32::from_str(..)? * (scale as f32)``).
+            width = float(np.float32(node.get("stroke-width"))
+                          * np.float32(scale))
             builder.stroke_path(flattened, width, parse_color(stroke))
     builder.end_group()
     return builder.build()

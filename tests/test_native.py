@@ -1,0 +1,67 @@
+"""Native (C++) component parity tests.
+
+The cc/ library must agree with the Python implementations:
+* scene encoding: byte-identical wire output (encoder + SVG + flattener)
+* flattening: bit-identical f64 points
+* golden rasterizer: pixel-identical images (both are -ffp-contract=off f32)
+"""
+
+import numpy as np
+import pytest
+
+from piet_tpu import native
+from piet_tpu.config import RenderConfig
+from piet_tpu.geometry import flatten_cubics_batch
+from piet_tpu.raster import cpu_render_scene
+from piet_tpu.scene import encode_scene, make_cardioid, make_path_test
+from piet_tpu.scene.svg import TIGER_PATH, load_svg_scene
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+TIGER_SVG = open(TIGER_PATH).read()
+
+
+def test_version():
+    assert b"piet-cc" in native.load().pm_version()
+
+
+def test_flatten_cubics_bit_identical():
+    rng = np.random.default_rng(42)
+    cubics = rng.uniform(-100, 1700, (64, 4, 2))
+    pts_py, counts_py = flatten_cubics_batch(cubics, 1e-3)
+    pts_cc, counts_cc = native.flatten_cubics(cubics, 1e-3)
+    np.testing.assert_array_equal(counts_py, counts_cc)
+    np.testing.assert_array_equal(pts_py, pts_cc)
+
+
+def test_tiger_scene_byte_identical():
+    from piet_tpu.scene import make_tiger
+    for scale in (2.56, 8.0):
+        wire_cc = native.init_scene_from_svg(TIGER_SVG, scale)
+        wire_py = encode_scene(make_tiger(scale=scale))
+        assert wire_cc == wire_py
+
+
+def test_golden_rasterizer_pixel_identical():
+    cfg = RenderConfig(width=256, height=256, tile_height=16, tile_width=128,
+                       cmd_capacity=512)
+    wire = native.init_scene_from_svg(TIGER_SVG, 1.28)
+    img_cc, overflow = native.render_golden(wire, 256, 256,
+                                            tile_w=128, tile_h=16,
+                                            cmd_capacity=512)
+    from piet_tpu.scene import decode_scene
+    img_py = cpu_render_scene(decode_scene(wire), cfg)
+    np.testing.assert_array_equal(img_cc, img_py)
+
+
+def test_golden_rasterizer_reference_tile_geometry():
+    """16x16 tiles -- the reference's exact tiling (PietShaderTypes.h:17)."""
+    cfg = RenderConfig(width=128, height=128, tile_height=16, tile_width=16,
+                       cmd_capacity=176)
+    scene = make_path_test()
+    wire = encode_scene(scene)
+    img_cc, _ = native.render_golden(wire, 128, 128, tile_w=16, tile_h=16,
+                                     cmd_capacity=176)
+    img_py = cpu_render_scene(scene, cfg)
+    np.testing.assert_array_equal(img_cc, img_py)
