@@ -17,6 +17,7 @@
 #include "piet_cc.h"
 #include "../gen/piet_scene_gen.h"
 #include "../gen/piet_ptcl_gen.h"
+#include "../gen/piet_srgb_gen.h"
 
 namespace {
 
@@ -26,15 +27,9 @@ float saturate(float v) { return std::min(std::max(v, 0.0f), 1.0f); }
 
 float fsign(float v) { return v > 0.0f ? 1.0f : (v < 0.0f ? -1.0f : 0.0f); }
 
-float srgb_decode(float u) {
-  return u <= 0.04045f ? u / 12.92f
-                       : std::pow((u + 0.055f) / 1.055f, 2.4f);
-}
-
-float srgb_encode(float v) {
-  return v < 0.0031308f ? 12.92f * v
-                        : 1.055f * std::pow(v, 1.0f / 2.4f) - 0.055f;
-}
+// sRGB decode/encode use the generated deterministic definitions
+// (cc/gen/piet_srgb_gen.h; see piet_tpu/scene/color.py for rationale).
+float srgb_encode(float v) { return piet_srgb::encode(v); }
 
 struct LinColor {
   float r, g, b, a;
@@ -42,9 +37,9 @@ struct LinColor {
 
 // Logical 0xRRGGBBAA -> linear rgb + alpha (see piet_tpu/scene/color.py).
 LinColor decode_color(uint32_t c) {
-  return {srgb_decode(((c >> 24) & 0xFF) / 255.0f),
-          srgb_decode(((c >> 16) & 0xFF) / 255.0f),
-          srgb_decode(((c >> 8) & 0xFF) / 255.0f),
+  return {piet_srgb::decode((c >> 24) & 0xFF),
+          piet_srgb::decode((c >> 16) & 0xFF),
+          piet_srgb::decode((c >> 8) & 0xFF),
           (c & 0xFF) / 255.0f};
 }
 

@@ -47,9 +47,11 @@ class RenderConfig:
     tile_width: int = 128
 
     # Max commands per tile PTCL (reference: 4096 B / 24 B = 170 cmds,
-    # PietShaderTypes.h:24-27). Must be a multiple of 16 so the flattened
-    # (tiles, cap * 8) f32 arg array keeps a 128-lane-aligned minor dim.
-    cmd_capacity: int = 320
+    # PietShaderTypes.h:24-27). Must be a multiple of the fine kernel's DMA
+    # chunk (128 commands) so per-tile command lists stream in whole chunks;
+    # this also keeps the flattened (tiles, cap * 8) f32 arg array
+    # 128-lane-aligned.
+    cmd_capacity: int = 384
 
     # Capacity buckets for scene padding (recompilation trap avoidance,
     # SURVEY.md section 7 "hard parts" item 6).
@@ -66,8 +68,8 @@ class RenderConfig:
     max_deltas: int = 1 << 18
 
     def __post_init__(self):
-        if self.cmd_capacity % 16:
-            raise ValueError("cmd_capacity must be a multiple of 16")
+        if self.cmd_capacity % 128:
+            raise ValueError("cmd_capacity must be a multiple of 128")
         if self.tile_width <= 0 or self.tile_height <= 0:
             raise ValueError("tile size must be positive")
 
@@ -99,7 +101,7 @@ class RenderConfig:
 #: Reference-compatible configuration: 16x16 tiles, 170-cmd PTCL, used by the
 #: parity test-suite so our CPU tiler can be compared against the reference's
 #: exact tiling geometry (PietShaderTypes.h:17-27).
-REFERENCE_CONFIG = RenderConfig(tile_height=16, tile_width=16, cmd_capacity=176)
+REFERENCE_CONFIG = RenderConfig(tile_height=16, tile_width=16, cmd_capacity=256)
 
 # Scene-level constants shared with the reference implementation.
 TOLERANCE: float = 0.1          # flattening tolerance (src/lib.rs:330)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 import sys
 
-from .emit_cpp import emit_cpp
+from .emit_cpp import emit_cpp, emit_srgb_header
 from .modules import ptcl_module, scene_module
 
 GEN_DIR = os.path.abspath(
@@ -22,6 +22,7 @@ def generate() -> dict:
     return {
         "piet_scene_gen.h": emit_cpp(scene_module()),
         "piet_ptcl_gen.h": emit_cpp(ptcl_module()),
+        "piet_srgb_gen.h": emit_srgb_header(),
     }
 
 

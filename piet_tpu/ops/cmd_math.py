@@ -1,0 +1,160 @@
+"""Shared fine-raster command math (single source of truth).
+
+The per-command pixel math of the reference's ``renderKernel``
+(TestApp/PietRender.metal:457-566), expressed over (tile_h, tile_w) f32
+arrays with scalar operands, used by BOTH device implementations:
+
+* ops/fine.py      -- the Pallas TPU kernel (production path),
+* ops/fine_xla.py  -- the pure-XLA implementation (portable fallback and
+                      the bit-exact CPU test vehicle).
+
+``bar`` is a best-effort FMA-contraction barrier: the numpy oracle
+(raster/cpu_fine.py) rounds every multiply and add separately.  On TPU,
+Mosaic and XLA:TPU do not contract mul+add chains and f32 div/sqrt are
+IEEE-exact, so both device paths are bit-identical to the oracle
+(verified on hardware; tests/test_tpu_exact.py).  On CPU, XLA's LLVM
+backend contracts at its own discretion -- neither optimization_barrier
+nor bitcast chains reliably survive to block it -- so CPU-side tests
+compare with a ~1e-5-of-pixels / <=2-code tolerance (tests/test_fine.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+DF_INIT = 1e9
+
+
+def _saturate(v):
+    return jnp.clip(v, 0.0, 1.0)
+
+
+def make_commands(X, Y, bar):
+    """Build the 7 command evaluators over pixel grids X, Y.
+
+    Each takes ``(arg, r, g, b, df, area)`` where ``arg(k)`` returns scalar
+    operand word k, and returns the updated ``(r, g, b, df, area)``.
+    Ordered by reference tag value (Circle=2 .. Solid=8, GenTypes.h:440-495).
+    """
+
+    def cmd_circle(arg, r, g, b, df, area):
+        bx0, by0, bx1, by1 = arg(0), arg(1), arg(2), arg(3)
+        cx = bx0 + 0.5 * (bx1 - bx0)
+        cy = by0 + 0.5 * (by1 - by0)
+        dx = X - cx
+        dy = Y - cy
+        rad = jnp.sqrt(bar(dx * dx) + bar(dy * dy))
+        circle_r = jnp.minimum(cx - bx0, cy - by0)
+        alpha = _saturate(circle_r - rad)
+        # Blend toward black: color is never encoded for circles
+        # (PietRender.metal:488-492).
+        keep = 1.0 - alpha
+        return r * keep, g * keep, b * keep, df, area
+
+    def cmd_line(arg, r, g, b, df, area):
+        sx, sy, ex, ey = arg(0), arg(1), arg(2), arg(3)
+        lvx, lvy = ex - sx, ey - sy
+        dpx, dpy = X - sx, Y - sy
+        denom = bar(lvx * lvx) + bar(lvy * lvy)
+        dotp = bar(lvx * dpx) + bar(lvy * dpy)
+        # Degenerate segments render as dots (t = 0); see cpu_fine.py.
+        tpar = jnp.where(denom > 0.0, _saturate(dotp / denom), 0.0)
+        fx = bar(lvx * tpar) - dpx
+        fy = bar(lvy * tpar) - dpy
+        field = jnp.sqrt(bar(fx * fx) + bar(fy * fy))
+        return r, g, b, jnp.minimum(df, field), area
+
+    def _blend(r, g, b, fr, fg, fb, w):
+        r = r + bar((fr - r) * w)
+        g = g + bar((fg - g) * w)
+        b = b + bar((fb - b) * w)
+        return r, g, b
+
+    def cmd_stroke(arg, r, g, b, df, area):
+        half_width = arg(0)
+        fr, fg, fb, fa = arg(1), arg(2), arg(3), arg(4)
+        alpha = _saturate(half_width + 0.5 - df)
+        w = bar(fa * alpha)
+        r, g, b = _blend(r, g, b, fr, fg, fb, w)
+        return r, g, b, jnp.full_like(df, DF_INIT), area
+
+    def cmd_fill(arg, r, g, b, df, area):
+        sx, sy, ex, ey = arg(0), arg(1), arg(2), arg(3)
+        rsx, rsy = sx - X, sy - Y
+        rex, rey = ex - X, ey - Y
+        w0 = _saturate(rsy)
+        w1 = _saturate(rey)
+        mask = w0 != w1
+        dy = rey - rsy
+        t0 = (w0 - rsy) / dy
+        t1 = (w1 - rsy) / dy
+        xs0 = rsx + bar((rex - rsx) * t0)
+        xs1 = rsx + bar((rex - rsx) * t1)
+        xmin = jnp.minimum(jnp.minimum(xs0, xs1), 1.0) - 1e-6
+        xmax = jnp.maximum(xs0, xs1)
+        bq = jnp.minimum(xmax, 1.0)
+        cq = jnp.maximum(bq, 0.0)
+        dq = jnp.maximum(xmin, 0.0)
+        a_cov = (bq + bar(0.5 * (bar(dq * dq) - bar(cq * cq))) - xmin) \
+            / (xmax - xmin)
+        # Guard for the reference's coverage-NaN fudge bug; see cpu_fine.py.
+        a_cov = jnp.where(xmax > xmin, a_cov, 1.0 - _saturate(xs0))
+        delta = bar(a_cov * (w0 - w1))
+        return r, g, b, df, jnp.where(mask, area + delta, area)
+
+    def cmd_fill_edge(arg, r, g, b, df, area):
+        sgn, ye = arg(0), arg(1)
+        return r, g, b, df, area + bar(sgn * _saturate(Y - ye + 1.0))
+
+    def cmd_draw_fill(arg, r, g, b, df, area):
+        backdrop = arg(0)
+        fr, fg, fb, fa = arg(1), arg(2), arg(3), arg(4)
+        alpha = jnp.minimum(jnp.abs(area + backdrop), 1.0)  # nonzero winding
+        w = bar(fa * alpha)
+        r, g, b = _blend(r, g, b, fr, fg, fb, w)
+        return r, g, b, df, jnp.zeros_like(area)
+
+    def cmd_solid(arg, r, g, b, df, area):
+        fr, fg, fb, fa = arg(0), arg(1), arg(2), arg(3)
+        r, g, b = _blend(r, g, b, fr, fg, fb, fa)
+        return r, g, b, df, area
+
+    return (cmd_circle, cmd_line, cmd_fill, cmd_stroke, cmd_fill_edge,
+            cmd_draw_fill, cmd_solid)
+
+
+def srgb_encode_u32(ch, bar):
+    """Deterministic linear f32 -> u8 code as uint32.
+
+    Mirrors scene/color.py::linear_to_srgb_det operation-for-operation (see
+    there for the precision-policy rationale); keep the three in sync.
+    """
+    ch = jnp.clip(ch, 0.0, 1.0)
+    x2 = ch * ch
+    x4 = x2 * x2
+    y = x4 * ch                     # x^5
+    t1 = jnp.sqrt(y)
+    t2 = jnp.sqrt(t1)
+    t3 = jnp.sqrt(t2)
+    t4 = jnp.sqrt(t3)
+    t5 = jnp.sqrt(t4)
+    rt = t2 * t4 * t5               # y^(11/32): cbrt seed
+    third = jnp.float32(1.0 / 3.0)
+    for _ in range(4):              # Newton for y^(1/3)
+        rr = rt * rt
+        q = y / rr
+        rt = (rt + rt + q) * third
+    p = jnp.sqrt(jnp.sqrt(rt))      # x^(1/2.4)
+    hi = bar(jnp.float32(1.055) * p) - jnp.float32(0.055)
+    lo = ch * jnp.float32(12.92)
+    srgb = jnp.where(ch < 0.0031308, lo, hi)
+    # Mosaic has no direct f32->u32 cast; values are in [0, 255] so
+    # rounding through i32 is exact.
+    return jnp.round(srgb * 255.0).astype(jnp.int32).astype(jnp.uint32)
+
+
+def pack_rgba8(r, g, b, bar):
+    """Encode three linear channels and pack RGBA8 into u32 (R low byte)."""
+    return (srgb_encode_u32(r, bar) | (srgb_encode_u32(g, bar) << 8)
+            | (srgb_encode_u32(b, bar) << 16) | jnp.uint32(0xFF000000))

@@ -26,7 +26,7 @@ from typing import Tuple
 import numpy as np
 
 from ..config import RenderConfig
-from ..scene.color import linear_to_srgb
+from ..scene.color import srgb_encode_u8
 from .ptcl import (CMD_CIRCLE, CMD_DRAW_FILL, CMD_FILL, CMD_FILL_EDGE,
                    CMD_LINE, CMD_SOLID, CMD_STROKE, Ptcl)
 
@@ -132,10 +132,13 @@ def render_tile(tags: np.ndarray, args: np.ndarray, count: int,
 
 
 def finish_pixels(rgb_linear: np.ndarray) -> np.ndarray:
-    """Linear f32 -> sRGB-encoded RGBA8 (alpha 255), reference formula."""
-    srgb = linear_to_srgb(np.clip(rgb_linear, 0.0, 1.0))
+    """Linear f32 -> sRGB-encoded RGBA8 (alpha 255).
+
+    Same curve as the reference's in-shader encode (PietRender.metal:563)
+    but via the deterministic algorithm (scene/color.py::linear_to_srgb_det)
+    so numpy / Pallas / C++ agree bit-for-bit."""
     out = np.empty(rgb_linear.shape[:-1] + (4,), np.uint8)
-    out[..., :3] = np.round(srgb * F(255.0)).astype(np.uint8)
+    out[..., :3] = srgb_encode_u8(rgb_linear)
     out[..., 3] = 255
     return out
 

@@ -25,6 +25,7 @@ import numpy as np
 from ..config import RenderConfig
 from ..ops.coarse import CoarseOutput, DeviceScene, coarse_rasterize
 from ..ops.fine import fine_rasterize
+from ..ops.fine_xla import fine_rasterize_xla
 from ..scene.color import decode_color_linear
 from ..scene.scene import Scene
 
@@ -77,12 +78,23 @@ def _solid_to_present_u32(solid: jax.Array) -> jax.Array:
     return r | (g << 8) | (b << 16) | (a << 24)
 
 
-def make_render_fn(config: RenderConfig, interpret: bool = False):
+def _resolve_fine_impl(fine_impl: str) -> str:
+    if fine_impl != "auto":
+        return fine_impl
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def make_render_fn(config: RenderConfig, interpret: bool = False,
+                   fine_impl: str = "auto"):
     """Build the jitted render step: DeviceScene -> (image_u32, stats).
 
     image_u32 is (height, width) uint32 packed RGBA8 (R low byte).
+
+    fine_impl: "pallas" (TPU production kernel), "xla" (portable pure-XLA
+    path, bit-exact vs the CPU oracle on every backend), or "auto".
     """
     tiles_x, tiles_y = config.tiles_x, config.tiles_y
+    fine_impl = _resolve_fine_impl(fine_impl)
 
     @jax.jit
     def render(scene: DeviceScene):
@@ -93,10 +105,17 @@ def make_render_fn(config: RenderConfig, interpret: bool = False):
             max_segments=config.max_segments, max_hits=config.max_hits,
             max_candidates=config.max_candidates,
             max_deltas=config.max_deltas)
-        fine = fine_rasterize(
-            coarse.counts.reshape(tiles_y, tiles_x), coarse.tags, coarse.args,
-            tile_h=config.tile_height, tile_w=config.tile_width,
-            cmd_capacity=config.cmd_capacity, interpret=interpret)
+        counts2d = coarse.counts.reshape(tiles_y, tiles_x)
+        if fine_impl == "xla":
+            fine = fine_rasterize_xla(
+                counts2d, coarse.tags, coarse.args,
+                tile_h=config.tile_height, tile_w=config.tile_width,
+                cmd_capacity=config.cmd_capacity)
+        else:
+            fine = fine_rasterize(
+                counts2d, coarse.tags, coarse.args,
+                tile_h=config.tile_height, tile_w=config.tile_width,
+                cmd_capacity=config.cmd_capacity, interpret=interpret)
         # Present composite: bailed tiles take their solid color bytes.
         solid2d = coarse.solid.reshape(tiles_y, tiles_x)
         bail2d = solid2d != 0
@@ -127,9 +146,11 @@ class Renderer:
         image = r.render(scene)          # (H, W, 4) uint8 RGBA
     """
 
-    def __init__(self, config: RenderConfig, interpret: bool = False):
+    def __init__(self, config: RenderConfig, interpret: bool = False,
+                 fine_impl: str = "auto"):
         self.config = config
-        self._render = make_render_fn(config, interpret=interpret)
+        self._render = make_render_fn(config, interpret=interpret,
+                                      fine_impl=fine_impl)
         self.last_stats: Optional[Dict] = None
 
     def render_u32(self, scene: Scene) -> jax.Array:

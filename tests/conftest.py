@@ -3,6 +3,10 @@
 Multi-chip hardware is not available in CI; sharding tests use
 ``xla_force_host_platform_device_count=8`` per the standard JAX recipe.
 Must run before jax is imported anywhere.
+
+Note: the axon TPU plugin registers itself regardless of ``JAX_PLATFORMS``,
+so we additionally pin ``jax_default_device`` to CPU after import -- tests
+must be host-runnable (the driver benches on the real chip separately).
 """
 
 import os
@@ -12,3 +16,8 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+if jax.default_backend() != "cpu":
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])

@@ -58,10 +58,10 @@ def test_golden_rasterizer_pixel_identical():
 def test_golden_rasterizer_reference_tile_geometry():
     """16x16 tiles -- the reference's exact tiling (PietShaderTypes.h:17)."""
     cfg = RenderConfig(width=128, height=128, tile_height=16, tile_width=16,
-                       cmd_capacity=176)
+                       cmd_capacity=256)
     scene = make_path_test()
     wire = encode_scene(scene)
     img_cc, _ = native.render_golden(wire, 128, 128, tile_w=16, tile_h=16,
-                                     cmd_capacity=176)
+                                     cmd_capacity=256)
     img_py = cpu_render_scene(scene, cfg)
     np.testing.assert_array_equal(img_cc, img_py)

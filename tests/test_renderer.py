@@ -1,0 +1,77 @@
+"""End-to-end: one-jit device renderer vs the full CPU golden path.
+
+Covers the whole translated stack (reference: scene encode -> tileKernel ->
+renderKernel -> present, TestApp/PietRenderer.m:59-103) as a single
+pixel-exact comparison, plus determinism and the capacity-error reporting
+the reference lacks (silent PTCL overflow, PietShaderTypes.h:24-27).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from piet_tpu.config import RenderConfig
+from piet_tpu.raster.cpu_fine import cpu_render_scene
+from piet_tpu.renderer.renderer import Renderer, SceneCapacityError
+from piet_tpu.scene.fixtures import make_cardioid, make_path_test
+from piet_tpu.scene.svg import make_tiger
+
+TIGER_CFG = RenderConfig(
+    width=224, height=224, tile_height=16, tile_width=16, cmd_capacity=768,
+    max_items=512, max_points=1 << 15, max_segments=1 << 15,
+    max_hits=1 << 17, max_candidates=1 << 15, max_deltas=1 << 15)
+
+
+CASES = [
+    ("path_test", make_path_test,
+     RenderConfig(width=320, height=832, tile_height=16, tile_width=16,
+                  cmd_capacity=128, max_items=64, max_points=1024,
+                  max_segments=1024, max_hits=1 << 14,
+                  max_candidates=1 << 12, max_deltas=1 << 12)),
+    ("cardioid", lambda: make_cardioid(center=(256.0, 256.0), r=200.0),
+     RenderConfig(width=512, height=512, tile_height=16, tile_width=16,
+                  cmd_capacity=128, max_items=256, max_points=1024,
+                  max_segments=1024, max_hits=1 << 17,
+                  max_candidates=1 << 14, max_deltas=1 << 12)),
+    ("tiger_1x", lambda: make_tiger(scale=1.0), TIGER_CFG),
+    ("tiger_1x_tpu_tiles", lambda: make_tiger(scale=1.0),
+     dataclasses.replace(TIGER_CFG, tile_width=128, cmd_capacity=2688,
+                         max_candidates=1 << 14)),
+]
+
+
+@pytest.mark.parametrize("name,make,cfg", CASES, ids=[c[0] for c in CASES])
+def test_render_matches_golden(name, make, cfg):
+    scene = make()
+    r = Renderer(cfg, fine_impl="xla")
+    img = r.render(scene)
+    gold = cpu_render_scene(scene, cfg)
+    # Bit-exact up to XLA:CPU's discretionary FMA contraction (see
+    # tests/test_fine.py); on TPU the full pipeline is bit-exact
+    # (tests/test_tpu_exact.py).
+    diff = np.abs(img.astype(np.int32) - gold.astype(np.int32))
+    assert diff.max() <= 2, f"maxdiff {diff.max()}"
+    assert (diff.max(-1) > 0).mean() < 1e-4
+
+
+def test_render_deterministic():
+    cfg = CASES[0][2]
+    scene = make_path_test()
+    r = Renderer(cfg, fine_impl="xla")
+    a = r.render(scene)
+    b = r.render(scene)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_item_capacity_error():
+    cfg = dataclasses.replace(TIGER_CFG, max_items=16)
+    with pytest.raises(SceneCapacityError):
+        Renderer(cfg, fine_impl="xla").render(make_tiger(scale=1.0))
+
+
+def test_hit_capacity_error():
+    cfg = dataclasses.replace(CASES[1][2], max_hits=1 << 10)
+    with pytest.raises(SceneCapacityError):
+        Renderer(cfg, fine_impl="xla").render(
+            make_cardioid(center=(256.0, 256.0), r=200.0))

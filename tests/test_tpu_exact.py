@@ -1,0 +1,53 @@
+"""Real-TPU bit-exactness: the Pallas fine kernel vs the CPU oracle.
+
+Mosaic's TPU lowering does not contract mul+add into FMAs and its f32
+div/sqrt are IEEE correctly rounded, so on real hardware the production
+kernel must reproduce the numpy oracle bit-for-bit (the deterministic sRGB
+encode removes the last libm dependency; see scene/color.py).
+
+Skipped when no TPU is attached (CI runs on CPU; the interpreter-mode
+variant with its documented FMA tolerance lives in test_fine.py).
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+
+def _tpu_available() -> bool:
+    try:
+        return any(d.platform == "tpu" for d in jax.devices("tpu"))
+    except RuntimeError:
+        return False
+
+
+pytestmark = pytest.mark.skipif(not _tpu_available(),
+                                reason="no TPU attached")
+
+
+def test_fine_kernel_bit_exact_on_tpu():
+    from piet_tpu.config import RenderConfig
+    from piet_tpu.ops.fine import fine_rasterize
+    from piet_tpu.raster.cpu_fine import cpu_render_ptcl
+    from piet_tpu.raster.cpu_tiler import cpu_tile_scene
+    from piet_tpu.scene.svg import make_tiger
+
+    cfg = RenderConfig(width=224, height=224, tile_height=16, tile_width=128,
+                       cmd_capacity=2688)
+    scene = make_tiger(scale=1.0)
+    ptcl = cpu_tile_scene(scene, cfg)
+    gold = cpu_render_ptcl(ptcl, cfg)
+    tpu = jax.devices("tpu")[0]
+    with jax.default_device(tpu):
+        img_u32 = fine_rasterize(
+            ptcl.counts.reshape(cfg.tiles_y, cfg.tiles_x), ptcl.tags,
+            ptcl.args.reshape(ptcl.n_tiles, -1), tile_h=cfg.tile_height,
+            tile_w=cfg.tile_width, cmd_capacity=cfg.cmd_capacity)
+    img = (np.ascontiguousarray(np.asarray(img_u32)).view(np.uint8)
+           .reshape(cfg.padded_height, cfg.padded_width, 4))
+    img = img[:cfg.height, :cfg.width]
+    solid2d = ptcl.solid.reshape(cfg.tiles_y, cfg.tiles_x)
+    bail_px = np.repeat(np.repeat(solid2d != 0, cfg.tile_height, 0),
+                        cfg.tile_width, 1)[:cfg.height, :cfg.width]
+    np.testing.assert_array_equal(img[~bail_px], gold[~bail_px])
