@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark: Ghostscript Tiger at 4K, ms/frame on one chip.
+
+Prints ONE JSON line:
+  {"metric": "tiger_4k_ms_per_frame", "value": <median ms>, "unit":
+   "ms/frame", "vs_baseline": <2.0 / value>, ...extra fields}
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+measured against the driver's north-star target of 2 ms/frame at 4K on one
+TPU chip: > 1.0 means the target is beaten.
+
+Methodology: the scene is encoded and staged to the device once (the
+reference likewise encodes only on resize, PietRenderer.m:105-146, and
+re-renders every frame); the timed region is the full device render step
+(coarse binning + fine raster + present composite in one jit).  Median of
+``FRAMES`` frames after compile + warmup.  A persistent compilation cache
+under .jax_cache/ keeps repeat runs fast.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), ".jax_cache"))
+
+import numpy as np  # noqa: E402
+
+FRAMES = 20
+TARGET_MS = 2.0
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from piet_tpu.config import RenderConfig
+    from piet_tpu.renderer.renderer import Renderer, prepare_scene
+    from piet_tpu.scene.svg import make_tiger
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    if on_tpu:
+        # Tiger viewBox is 200x200; 19.2x fills 3840 px of width.
+        width, height, scale = 3840, 2160, 19.2
+    else:
+        # CPU fallback so the bench always reports; not the headline config.
+        width, height, scale = 512, 512, 2.56
+
+    scene = make_tiger(scale=scale)
+    cfg = RenderConfig(
+        width=width, height=height, tile_height=16, tile_width=128,
+        cmd_capacity=1024, max_items=512, max_points=1 << 17,
+        max_segments=1 << 17, max_hits=1 << 19, max_candidates=1 << 17,
+        max_deltas=1 << 15)
+    renderer = Renderer(cfg)
+    dev = prepare_scene(scene, cfg)
+
+    # Compile + warmup (also validates capacities via the stats check).
+    renderer.render_u32(scene)
+    for _ in range(2):
+        img, _ = renderer._render(dev)
+        img.block_until_ready()
+
+    times = []
+    for _ in range(FRAMES):
+        t0 = time.perf_counter()
+        img, _ = renderer._render(dev)
+        img.block_until_ready()
+        times.append((time.perf_counter() - t0) * 1e3)
+    value = float(np.median(times))
+
+    stats = renderer.last_stats or {}
+    mpix_s = (width * height) / (value * 1e-3) / 1e6
+    segs_s = float(stats.get("n_segments", 0)) / (value * 1e-3)
+    out = {
+        "metric": "tiger_4k_ms_per_frame" if on_tpu
+        else "tiger_512_ms_per_frame_cpu_fallback",
+        "value": round(value, 3),
+        "unit": "ms/frame",
+        "vs_baseline": round(TARGET_MS / value, 4),
+        "backend": backend,
+        "viewport": f"{width}x{height}",
+        "frames": FRAMES,
+        "p10_ms": round(float(np.percentile(times, 10)), 3),
+        "p90_ms": round(float(np.percentile(times, 90)), 3),
+        "fill_mpix_per_s": round(mpix_s, 1),
+        "segments_binned_per_s": round(segs_s, 0),
+        "n_segments": int(stats.get("n_segments", 0)),
+        "max_tile_cmds": int(stats.get("max_tile_cmds", 0)),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

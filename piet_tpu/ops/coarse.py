@@ -115,13 +115,18 @@ def _bar(x):
 
 
 def _item_tile_rect(bboxes, tw: int, th: int, tiles_x: int, tiles_y: int,
-                    active):
+                    active, row0):
     """Quantized item bbox -> inclusive tile rect, exactly the reference hit
-    test (PietRender.metal:214) solved for tx/ty; empty if offscreen."""
+    test (PietRender.metal:214) solved for tx/ty; empty if offscreen.
+
+    ``row0``/``tiles_y`` window the rect to tile rows [row0, row0+tiles_y)
+    -- the row-sharding hook (parallel/sharding.py): each shard computes
+    exactly the commands of its slab, in absolute pixel coordinates, so
+    sharded and unsharded PTCLs are identical."""
     x0 = jnp.maximum(bboxes[:, 0] // tw, 0)
-    y0 = jnp.maximum(bboxes[:, 1] // th, 0)
+    y0 = jnp.maximum(bboxes[:, 1] // th, row0)
     x1 = jnp.minimum(bboxes[:, 2] // tw, tiles_x - 1)
-    y1 = jnp.minimum(bboxes[:, 3] // th, tiles_y - 1)
+    y1 = jnp.minimum(bboxes[:, 3] // th, row0 + tiles_y - 1)
     w = jnp.where(active, jnp.maximum(x1 - x0 + 1, 0), 0)
     h = jnp.where(active, jnp.maximum(y1 - y0 + 1, 0), 0)
     return x0, y0, x1, y1, w, h
@@ -130,8 +135,12 @@ def _item_tile_rect(bboxes, tw: int, th: int, tiles_x: int, tiles_y: int,
 def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                      tile_w: int, tile_h: int, cmd_capacity: int,
                      max_segments: int, max_hits: int, max_candidates: int,
-                     max_deltas: int) -> CoarseOutput:
+                     max_deltas: int, row0=0,
+                     debug_stage: str = "") -> CoarseOutput:
+    """row0: first tile row of this shard's slab (traced OK); tiles_y is
+    the number of LOCAL rows.  Defaults cover the whole viewport."""
     NI = scene.tags.shape[0]
+    row0 = jnp.int32(row0)
     n_tiles = tiles_x * tiles_y
     twf = jnp.float32(tile_w)
     thf = jnp.float32(tile_h)
@@ -143,7 +152,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
 
     # ---- item bbox tile rects + candidate expansion -------------------
     bx0, by0, bx1, by1, bw, bh = _item_tile_rect(
-        scene.bboxes, tile_w, tile_h, tiles_x, tiles_y, active)
+        scene.bboxes, tile_w, tile_h, tiles_x, tiles_y, active, row0)
     cand_counts = bw * bh
     cand_excl, cand_incl = _exclusive_cumsum(cand_counts)
     n_cand = cand_incl[-1]
@@ -151,7 +160,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     cand_w = jnp.maximum(bw[cand_item], 1)
     cand_ty = by0[cand_item] + cand_local // cand_w
     cand_tx = bx0[cand_item] + cand_local % cand_w
-    cand_tile = cand_ty * tiles_x + cand_tx
+    cand_tile = (cand_ty - row0) * tiles_x + cand_tx
 
     # ---- segment derivation ------------------------------------------
     # Fill items: n wrap-around segments; poly: n-1; line: 1; circle: 0.
@@ -231,7 +240,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     h_ty = r_y_lo[hit_seg] + hit_local // h_w
     h_tx = r_x_lo[hit_seg] + hit_local % h_w
     h_item = seg_item[hit_seg]
-    h_tile = h_ty * tiles_x + h_tx
+    h_tile = (h_ty - row0) * tiles_x + h_tx
     h_cand = (cand_excl[h_item]
               + (h_ty - by0[h_item]) * jnp.maximum(bw[h_item], 1)
               + (h_tx - bx0[h_item]))
@@ -317,6 +326,9 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     slot1_args = slot1_args.at[:, 3].set(f1_ey)
 
     hit_n_cmds = slot0_valid.astype(jnp.int32) + slot1_valid.astype(jnp.int32)
+    if debug_stage == "tests":
+        return (slot0_args.sum() + slot1_args.sum() + hit_n_cmds.sum())
+
 
     # Per-candidate emitted-command count (drives anyFill/anyStroke).
     cand_emit = jax.ops.segment_sum(
@@ -326,9 +338,9 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     # ---- winding deltas (backdrop) ------------------------------------
     # Rows whose top edge y0 lies in [ymin, ymax] (see cpu_tiler backdrop
     # mask); exact for power-of-two tile heights.
-    d_y_lo = jnp.maximum(jnp.ceil(xmn[:, 1] / thf).astype(jnp.int32), 0)
+    d_y_lo = jnp.maximum(jnp.ceil(xmn[:, 1] / thf).astype(jnp.int32), row0)
     d_y_hi = jnp.minimum(jnp.floor(xmx[:, 1] / thf).astype(jnp.int32),
-                         tiles_y - 1)
+                         row0 + tiles_y - 1)
     delta_counts = jnp.where(is_fill_seg & (a != 0),
                              jnp.maximum(d_y_hi - d_y_lo + 1, 0), 0)
     del_excl, del_incl = _exclusive_cumsum(delta_counts)
@@ -376,6 +388,9 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     start_base = jnp.where(cand_row_start > 0, csum[cand_row_start - 1], 0.0)
     backdrop = csum[jnp.minimum(
         cand_row_start + (cand_tx - bx0[cand_item]), max_candidates - 1)] - start_base
+    if debug_stage == "deltas":
+        return (backdrop.sum() + hit_n_cmds.sum() + slot0_args.sum() + slot1_args.sum())
+
 
     # ---- candidate tail commands --------------------------------------
     c_tag_item = tags[cand_item]
@@ -418,6 +433,9 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     # Clearing commands (reset the bail state): Circle, Line, Stroke,
     # DrawFill (TileEncoder, PietRender.metal:81,90,99,124).
     cand_is_clear = is_circle | is_drawfill | is_stroke
+    if debug_stage == "cands":
+        return (backdrop.sum() + cand_args.sum() + hit_n_cmds.sum() + slot0_args.sum() + slot1_args.sum())
+
 
     # ---- global sort: two-key 32-bit lexicographic sort ---------------
     # key1 = tile * (NI+1) + item  (painter's order per tile);
@@ -438,6 +456,9 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     sorted_key1, _, sorted_idx = jax.lax.sort(
         (all_key1, all_key2, order_idx), dimension=0, num_keys=2,
         is_stable=True)
+    if debug_stage == "sort":
+        return (sorted_key1.sum() + sorted_idx.sum() + backdrop.sum() + cand_args.sum() + slot0_args.sum() + slot1_args.sum())
+
 
     live = sorted_key1 < I32_MAX
     src_is_hit = sorted_idx < max_hits
@@ -468,6 +489,9 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         + e_ncmds[jnp.minimum(tile_last_entry - 1, E - 1)]
         - tile_cmd_base, 0)
     e_pos = cpos_excl - tile_cmd_base[jnp.minimum(e_tile, n_tiles - 1)]
+    if debug_stage == "pos":
+        return (e_pos.sum() + sorted_idx.sum() + backdrop.sum() + cand_args.sum() + slot0_args.sum() + slot1_args.sum())
+
 
     # ---- bail analysis ------------------------------------------------
     seg_ids = jnp.minimum(e_tile, n_tiles)
@@ -499,6 +523,9 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     start = jnp.where(bail, jnp.int32(0),
                       jnp.where(last_opaque >= 0, last_opaque, 0))
     count_post = jnp.where(bail, 0, tile_cmd_total - start)
+    if debug_stage == "bail":
+        return (count_post.sum() + e_pos.sum() + sorted_idx.sum() + backdrop.sum() + cand_args.sum() + slot0_args.sum() + slot1_args.sum())
+
     overflow = jnp.maximum(count_post - cmd_capacity, 0)
     counts = jnp.minimum(count_post, cmd_capacity)
 

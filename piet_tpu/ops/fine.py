@@ -50,7 +50,7 @@ from .cmd_math import DF_INIT, make_commands, pack_rgba8
 CMD_CHUNK = 128
 
 
-def _fine_kernel(counts_ref, cmds_hbm, out_ref, cmds_s, sems, *,
+def _fine_kernel(counts_ref, row0_ref, cmds_hbm, out_ref, cmds_s, sems, *,
                  tile_h: int, tile_w: int, cmd_capacity: int,
                  tiles_x: int, interpret: bool):
     if interpret:
@@ -61,7 +61,7 @@ def _fine_kernel(counts_ref, cmds_hbm, out_ref, cmds_s, sems, *,
 
     t = pl.program_id(0)
     n = counts_ref[t]
-    ty = t // tiles_x
+    ty = row0_ref[0] + t // tiles_x
     tx = t % tiles_x
     x0 = (tx * tile_w).astype(jnp.float32)
     y0 = (ty * tile_h).astype(jnp.float32)
@@ -134,7 +134,7 @@ def _fine_kernel(counts_ref, cmds_hbm, out_ref, cmds_s, sems, *,
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w",
                                              "cmd_capacity", "interpret"))
 def fine_rasterize(counts: jax.Array, tags: jax.Array, args: jax.Array,
-                   *, tile_h: int, tile_w: int, cmd_capacity: int,
+                   row0=0, *, tile_h: int, tile_w: int, cmd_capacity: int,
                    interpret: bool = False) -> jax.Array:
     """Rasterize all tiles.
 
@@ -142,6 +142,9 @@ def fine_rasterize(counts: jax.Array, tags: jax.Array, args: jax.Array,
       counts: (tiles_y, tiles_x) int32 live-command counts.
       tags: (T, CAP) int32 command tags (T = tiles_y * tiles_x, row-major).
       args: (T, CAP * 8) float32 flattened command operands.
+
+    ``row0``: first tile row of this shard's slab (traced OK) -- pixel
+    coordinates are absolute, output shape is the local slab.
 
     Returns:
       (tiles_y * tile_h, tiles_x * tile_w) uint32 packed RGBA8 pixels.
@@ -154,12 +157,13 @@ def fine_rasterize(counts: jax.Array, tags: jax.Array, args: jax.Array,
         _fine_kernel, tile_h=tile_h, tile_w=tile_w,
         cmd_capacity=cmd_capacity, tiles_x=tiles_x, interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),   # merged tag+arg words
         ],
-        out_specs=pl.BlockSpec((1, tile_h, tile_w), lambda t, c: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, tile_h, tile_w),
+                               lambda t, c, r0: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((2, 8, CMD_CHUNK), jnp.float32),
@@ -178,7 +182,8 @@ def fine_rasterize(counts: jax.Array, tags: jax.Array, args: jax.Array,
          args.reshape(n_tiles, cmd_capacity, ARG_WORDS)
          .transpose(0, 2, 1)[:, :7, :]],
         axis=1)
-    tiles = tiles_fn(counts.reshape(-1), cmds)
+    tiles = tiles_fn(counts.reshape(-1),
+                     jnp.asarray(row0, jnp.int32).reshape(1), cmds)
     return (tiles.reshape(tiles_y, tiles_x, tile_h, tile_w)
             .transpose(0, 2, 1, 3)
             .reshape(tiles_y * tile_h, tiles_x * tile_w))

@@ -33,7 +33,7 @@ from .cmd_math import DF_INIT, make_commands, pack_rgba8
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w",
                                              "cmd_capacity"))
 def fine_rasterize_xla(counts: jax.Array, tags: jax.Array, args: jax.Array,
-                       *, tile_h: int, tile_w: int,
+                       row0=0, *, tile_h: int, tile_w: int,
                        cmd_capacity: int) -> jax.Array:
     """Rasterize all tiles; same contract as ops/fine.py::fine_rasterize.
 
@@ -41,6 +41,9 @@ def fine_rasterize_xla(counts: jax.Array, tags: jax.Array, args: jax.Array,
       counts: (tiles_y, tiles_x) int32 live-command counts.
       tags: (T, CAP) int32 command tags.
       args: (T, CAP * 8) float32 command operands.
+
+    ``row0``: first tile row of this shard's slab (traced OK) -- pixel
+    coordinates are absolute, output shape is the local slab.
 
     Returns:
       (tiles_y * tile_h, tiles_x * tile_w) uint32 packed RGBA8 pixels.
@@ -50,7 +53,8 @@ def fine_rasterize_xla(counts: jax.Array, tags: jax.Array, args: jax.Array,
     bar = jax.lax.optimization_barrier
     args3 = args.reshape(n_tiles, cmd_capacity, ARG_WORDS)
     origins_x = (jnp.arange(n_tiles, dtype=jnp.int32) % tiles_x) * tile_w
-    origins_y = (jnp.arange(n_tiles, dtype=jnp.int32) // tiles_x) * tile_h
+    origins_y = (jnp.int32(row0)
+                 + jnp.arange(n_tiles, dtype=jnp.int32) // tiles_x) * tile_h
     n_max = jnp.max(counts)
 
     def tile_fn(tag_row, arg_row, count, ox, oy):

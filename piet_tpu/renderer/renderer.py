@@ -84,6 +84,53 @@ def _resolve_fine_impl(fine_impl: str) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
+                row0, fine_impl: str, interpret: bool = False):
+    """Coarse + fine + present for a horizontal slab of ``tiles_y`` tile
+    rows starting at ``row0`` (the whole viewport when row0=0 and
+    tiles_y=config.tiles_y).  Returns (slab_image_u32, stats) where the
+    image covers the slab's padded pixels.  The building block shared by
+    the single-chip renderer and the row-sharded multi-chip path
+    (parallel/sharding.py)."""
+    tiles_x = config.tiles_x
+    coarse = coarse_rasterize(
+        scene, tiles_x=tiles_x, tiles_y=tiles_y,
+        tile_w=config.tile_width, tile_h=config.tile_height,
+        cmd_capacity=config.cmd_capacity,
+        max_segments=config.max_segments, max_hits=config.max_hits,
+        max_candidates=config.max_candidates,
+        max_deltas=config.max_deltas, row0=row0)
+    counts2d = coarse.counts.reshape(tiles_y, tiles_x)
+    if fine_impl == "xla":
+        fine = fine_rasterize_xla(
+            counts2d, coarse.tags, coarse.args, row0,
+            tile_h=config.tile_height, tile_w=config.tile_width,
+            cmd_capacity=config.cmd_capacity)
+    else:
+        fine = fine_rasterize(
+            counts2d, coarse.tags, coarse.args, row0,
+            tile_h=config.tile_height, tile_w=config.tile_width,
+            cmd_capacity=config.cmd_capacity, interpret=interpret)
+    # Present composite: bailed tiles take their solid color bytes
+    # (reference present fast path, PietRender.metal:34-44).
+    solid2d = coarse.solid.reshape(tiles_y, tiles_x)
+    bail2d = solid2d != 0
+    present = _solid_to_present_u32(solid2d)
+    bail_px = jnp.repeat(jnp.repeat(bail2d, config.tile_height, axis=0),
+                         config.tile_width, axis=1)
+    present_px = jnp.repeat(
+        jnp.repeat(present, config.tile_height, axis=0),
+        config.tile_width, axis=1)
+    img = jnp.where(bail_px, present_px, fine)
+    stats = {
+        "max_tile_cmds": coarse.counts.max(),
+        "overflow_cmds": coarse.overflow.sum(),
+        "bail_tiles": bail2d.sum(),
+        **coarse.diag,
+    }
+    return img, stats
+
+
 def make_render_fn(config: RenderConfig, interpret: bool = False,
                    fine_impl: str = "auto"):
     """Build the jitted render step: DeviceScene -> (image_u32, stats).
@@ -98,42 +145,9 @@ def make_render_fn(config: RenderConfig, interpret: bool = False,
 
     @jax.jit
     def render(scene: DeviceScene):
-        coarse = coarse_rasterize(
-            scene, tiles_x=tiles_x, tiles_y=tiles_y,
-            tile_w=config.tile_width, tile_h=config.tile_height,
-            cmd_capacity=config.cmd_capacity,
-            max_segments=config.max_segments, max_hits=config.max_hits,
-            max_candidates=config.max_candidates,
-            max_deltas=config.max_deltas)
-        counts2d = coarse.counts.reshape(tiles_y, tiles_x)
-        if fine_impl == "xla":
-            fine = fine_rasterize_xla(
-                counts2d, coarse.tags, coarse.args,
-                tile_h=config.tile_height, tile_w=config.tile_width,
-                cmd_capacity=config.cmd_capacity)
-        else:
-            fine = fine_rasterize(
-                counts2d, coarse.tags, coarse.args,
-                tile_h=config.tile_height, tile_w=config.tile_width,
-                cmd_capacity=config.cmd_capacity, interpret=interpret)
-        # Present composite: bailed tiles take their solid color bytes.
-        solid2d = coarse.solid.reshape(tiles_y, tiles_x)
-        bail2d = solid2d != 0
-        present = _solid_to_present_u32(solid2d)
-        bail_px = jnp.repeat(jnp.repeat(bail2d, config.tile_height, axis=0),
-                             config.tile_width, axis=1)
-        present_px = jnp.repeat(
-            jnp.repeat(present, config.tile_height, axis=0),
-            config.tile_width, axis=1)
-        img = jnp.where(bail_px, present_px, fine)
-        img = img[:config.height, :config.width]
-        stats = {
-            "max_tile_cmds": coarse.counts.max(),
-            "overflow_cmds": coarse.overflow.sum(),
-            "bail_tiles": bail2d.sum(),
-            **coarse.diag,
-        }
-        return img, stats
+        img, stats = render_slab(scene, config, tiles_y=tiles_y, row0=0,
+                                 fine_impl=fine_impl, interpret=interpret)
+        return img[:config.height, :config.width], stats
 
     return render
 
