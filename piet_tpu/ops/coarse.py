@@ -11,7 +11,7 @@ sort (SURVEY.md section 7, translation decision 4):
   1. segment derivation  -- every item's segments as flat arrays (gathers)
   2. rect expansion      -- per segment, the conservative rectangle of tiles
                             it may emit commands into; expanded to (segment,
-                            tile) *hit records* via cumsum + searchsorted
+                            tile) *hit records* via cumsum + scatter/cummax
   3. exact per-record tests -- the reference's per-tile f32 sign tests,
                             evaluated identically (see raster/cpu_tiler.py),
                             emitting <= 2 command slots per record
@@ -69,6 +69,23 @@ class DeviceScene(NamedTuple):
     n_items: jax.Array     # () int32
 
 
+class CoarseEntries(NamedTuple):
+    """Entry-stream PTCL: the sorted (tile, item)-grouped records themselves,
+    with per-tile index ranges -- no per-tile capacity, no scatter.
+
+    ``stream`` packs entries 128 per block for the fine kernel's DMA:
+    entry e lives at block e // 128, lane e % 128; sublanes are the 16
+    words [slot0 tag, slot0 args 0-6, slot1 tag, slot1 args 0-6] (slot0 =
+    FillEdge|Line|tail command, slot1 = Fill; tag 0 = empty slot).
+    """
+    stream: jax.Array       # (E/128, 16, 128) f32
+    first: jax.Array        # (T,) int32 first live entry (post bail-reset)
+    n_entries: jax.Array    # (T,) int32 live entries
+    counts: jax.Array       # (T,) int32 live commands (diagnostics)
+    solid: jax.Array        # (T,) uint32 bail color, 0 = none
+    diag: dict
+
+
 class CoarseOutput(NamedTuple):
     tags: jax.Array      # (T, CAP) int32
     args: jax.Array      # (T, CAP * 8) f32
@@ -86,15 +103,25 @@ def _exclusive_cumsum(x):
 def _expand(counts: jax.Array, cap: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Ragged-range expansion: sources with ``counts[i]`` slots each are laid
     out consecutively; returns (src_index, local_index, valid) for ``cap``
-    output slots.  The standard cumsum + searchsorted idiom."""
+    output slots.
+
+    Implemented as scatter-max of source ids at their start offsets + a
+    cumulative max: sources partition [0, total), so the owner of slot p is
+    the largest-id nonempty source whose start is <= p.  This replaces the
+    classic searchsorted formulation, whose binary-search while-loop costs
+    ~18 ms per 128k queries on TPU vs ~1 ms for scatter+cummax (measured).
+    """
+    N = counts.shape[0]
     excl, incl = _exclusive_cumsum(counts)
     total = incl[-1] if counts.size else jnp.int32(0)
+    ids = jnp.arange(N, dtype=jnp.int32)
+    starts = jnp.where(counts > 0, excl, cap)
+    seed = jnp.zeros((cap,), jnp.int32).at[starts].max(ids, mode="drop")
+    src = jax.lax.cummax(seed)
     idx = jnp.arange(cap, dtype=jnp.int32)
-    src = jnp.searchsorted(incl, idx, side="right").astype(jnp.int32)
     valid = idx < total
-    src_c = jnp.minimum(src, counts.shape[0] - 1)
-    local = idx - excl[src_c]
-    return src_c, local, valid
+    local = idx - excl[src]
+    return src, local, valid
 
 
 def _sign(x):
@@ -135,7 +162,7 @@ def _item_tile_rect(bboxes, tw: int, th: int, tiles_x: int, tiles_y: int,
 def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                      tile_w: int, tile_h: int, cmd_capacity: int,
                      max_segments: int, max_hits: int, max_candidates: int,
-                     max_deltas: int, row0=0,
+                     max_deltas: int, row0=0, output: str = "dense",
                      debug_stage: str = "") -> CoarseOutput:
     """row0: first tile row of this shard's slab (traced OK); tiles_y is
     the number of LOCAL rows.  Defaults cover the whole viewport."""
@@ -164,6 +191,10 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
 
     # ---- segment derivation ------------------------------------------
     # Fill items: n wrap-around segments; poly: n-1; line: 1; circle: 0.
+    # All per-item attributes a segment needs are packed into one (NI, K)
+    # matrix so expansion costs ONE row gather (TPU gathers price per
+    # gather op, not per byte: 15 separate 1-D gathers at 128k indices cost
+    # ~30 ms; one packed row gather ~2 ms -- measured).
     seg_counts = jnp.where(
         tags == TAG_FILL, scene.n_pts,
         jnp.where(tags == TAG_POLY, jnp.maximum(scene.n_pts - 1, 0),
@@ -171,12 +202,21 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     seg_excl, seg_incl = _exclusive_cumsum(seg_counts)
     n_segs = seg_incl[-1]
     seg_item, seg_local, seg_valid = _expand(seg_counts, max_segments)
-    s_tag = tags[seg_item]
-    s_npts = scene.n_pts[seg_item]
-    i0 = scene.pt_offset[seg_item] + seg_local
+    item_pack = jnp.stack(
+        [tags, scene.n_pts, scene.pt_offset, cand_excl,
+         bx0, by0, bx1, by1, bw], axis=1)               # (NI, 9) int32
+    sitem = item_pack[seg_item]
+    s_tag = sitem[:, 0]
+    s_npts = sitem[:, 1]
+    s_ptoff = sitem[:, 2]
+    s_cand_excl = sitem[:, 3]
+    s_bx0, s_by0, s_bx1, s_by1, s_bw = (sitem[:, 4], sitem[:, 5],
+                                        sitem[:, 6], sitem[:, 7],
+                                        sitem[:, 8])
+    i0 = s_ptoff + seg_local
     nxt = jnp.where((s_tag == TAG_FILL) & (seg_local + 1 == s_npts),
                     0, seg_local + 1)
-    i1 = scene.pt_offset[seg_item] + nxt
+    i1 = s_ptoff + nxt
     np_max = scene.points.shape[0] - 1
     p0 = scene.points[jnp.clip(i0, 0, np_max)]
     p1 = scene.points[jnp.clip(i1, 0, np_max)]
@@ -216,18 +256,18 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
 
     is_line_item = s_tag == TAG_LINE
     r_x_lo = jnp.where(is_fill_seg, fx_lo,
-                       jnp.where(is_line_item, bx0[seg_item], st_x_lo))
+                       jnp.where(is_line_item, s_bx0, st_x_lo))
     r_x_hi = jnp.where(is_fill_seg, fx_hi,
-                       jnp.where(is_line_item, bx1[seg_item], st_x_hi))
+                       jnp.where(is_line_item, s_bx1, st_x_hi))
     r_y_lo = jnp.where(is_fill_seg, fy_lo,
-                       jnp.where(is_line_item, by0[seg_item], st_y_lo))
+                       jnp.where(is_line_item, s_by0, st_y_lo))
     r_y_hi = jnp.where(is_fill_seg, fy_hi,
-                       jnp.where(is_line_item, by1[seg_item], st_y_hi))
+                       jnp.where(is_line_item, s_by1, st_y_hi))
     # Clip to the item's bbox rect (the reference's per-tile `hit` gate).
-    r_x_lo = jnp.maximum(r_x_lo, bx0[seg_item])
-    r_x_hi = jnp.minimum(r_x_hi, bx1[seg_item])
-    r_y_lo = jnp.maximum(r_y_lo, by0[seg_item])
-    r_y_hi = jnp.minimum(r_y_hi, by1[seg_item])
+    r_x_lo = jnp.maximum(r_x_lo, s_bx0)
+    r_x_hi = jnp.minimum(r_x_hi, s_bx1)
+    r_y_lo = jnp.maximum(r_y_lo, s_by0)
+    r_y_hi = jnp.minimum(r_y_hi, s_by1)
     r_w = jnp.maximum(r_x_hi - r_x_lo + 1, 0)
     r_h = jnp.maximum(r_y_hi - r_y_lo + 1, 0)
     hit_counts = jnp.where(seg_valid & (seg_counts[seg_item] > 0),
@@ -236,24 +276,40 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     hit_excl, hit_incl = _exclusive_cumsum(hit_counts)
     n_hits = hit_incl[-1]
     hit_seg, hit_local, hit_valid = _expand(hit_counts, max_hits)
-    h_w = jnp.maximum(r_w[hit_seg], 1)
-    h_ty = r_y_lo[hit_seg] + hit_local // h_w
-    h_tx = r_x_lo[hit_seg] + hit_local % h_w
-    h_item = seg_item[hit_seg]
+
+    # Per-segment attributes packed into one f32 and one i32 matrix; the
+    # hit expansion then costs two row gathers instead of ~15 1-D gathers
+    # (the dominant cost of this pass before packing -- see _expand note).
+    seg_flags = (is_fill_seg.astype(jnp.int32)
+                 | (is_stroke_seg.astype(jnp.int32) << 1)
+                 | (is_line_item.astype(jnp.int32) << 2))
+    seg_f32 = jnp.stack(
+        [sx, sy, ex, ey, a, b, c,
+         xmn[:, 0], xmn[:, 1], xmx[:, 0], xmx[:, 1], s_hw],
+        axis=1)                                          # (S, 12)
+    seg_i32 = jnp.stack(
+        [seg_flags, r_x_lo, r_y_lo, jnp.maximum(r_w, 1), seg_item,
+         s_cand_excl, s_by0, jnp.maximum(s_bw, 1), s_bx0],
+        axis=1)                                          # (S, 9)
+    hf = seg_f32[hit_seg]
+    hi = seg_i32[hit_seg]
+    h_flags = hi[:, 0]
+    h_w = hi[:, 3]
+    h_ty = hi[:, 2] + hit_local // h_w
+    h_tx = hi[:, 1] + hit_local % h_w
+    h_item = hi[:, 4]
     h_tile = (h_ty - row0) * tiles_x + h_tx
-    h_cand = (cand_excl[h_item]
-              + (h_ty - by0[h_item]) * jnp.maximum(bw[h_item], 1)
-              + (h_tx - bx0[h_item]))
+    h_cand = hi[:, 5] + (h_ty - hi[:, 6]) * hi[:, 7] + (h_tx - hi[:, 8])
 
     # ---- exact per-record tests (f32, identical to cpu_tiler.py) ------
     x0f = h_tx.astype(f32) * twf
     y0f = h_ty.astype(f32) * thf
-    hs, he = hit_seg, None
-    h_sx, h_sy, h_ex, h_ey = sx[hs], sy[hs], ex[hs], ey[hs]
-    h_a, h_b, h_c = a[hs], b[hs], c[hs]
-    h_xmn, h_xmx = xmn[hs], xmx[hs]
-    h_is_fill = is_fill_seg[hs] & hit_valid
-    h_is_stroke = is_stroke_seg[hs] & hit_valid
+    h_sx, h_sy, h_ex, h_ey = hf[:, 0], hf[:, 1], hf[:, 2], hf[:, 3]
+    h_a, h_b, h_c = hf[:, 4], hf[:, 5], hf[:, 6]
+    h_xmn = hf[:, 7:9]
+    h_xmx = hf[:, 9:11]
+    h_is_fill = ((h_flags & 1) != 0) & hit_valid
+    h_is_stroke = ((h_flags & 2) != 0) & hit_valid
 
     # Fill tests (PietRender.metal:307-354).
     ycull = (h_xmx[:, 1] >= y0f) & (h_xmn[:, 1] < y0f + thf)
@@ -287,10 +343,10 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
 
     # Stroke tests (:411-435 for polys; :223-247 for lines -- the line case
     # has no segment bbox cull, matching the reference).
-    h_hw = s_hw[hs]
+    h_hw = hf[:, 11]
     st_bcull = ((h_xmx[:, 1] > y0f - h_hw) & (h_xmn[:, 1] < y0f + thf + h_hw)
                 & (h_xmx[:, 0] > x0f - h_hw) & (h_xmn[:, 0] < x0f + twf + h_hw))
-    st_bcull = jnp.where(is_line_item[hs], True, st_bcull)
+    st_bcull = jnp.where((h_flags & 4) != 0, True, st_bcull)
     sleft = _bar(h_a * (x0f - h_hw))
     sright = _bar(h_a * (x0f + twf + h_hw))
     stop = _bar(h_b * (y0f - h_hw))
@@ -346,10 +402,11 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     del_excl, del_incl = _exclusive_cumsum(delta_counts)
     n_deltas = del_incl[-1]
     del_seg, del_local, del_valid = _expand(delta_counts, max_deltas)
+    df32 = seg_f32[del_seg]
+    di32 = seg_i32[del_seg]
     d_ty = d_y_lo[del_seg] + del_local
     d_y0 = d_ty.astype(f32) * thf
-    d_a, d_b, d_c = a[del_seg], b[del_seg], c[del_seg]
-    d_item = seg_item[del_seg]
+    d_a, d_b, d_c = df32[:, 4], df32[:, 5], df32[:, 6]
     # Crossing column: first tx with sign(a*x0 + b*y0 + c) == sign(a).  The
     # f32-evaluated expression is monotone in x0, so probe +-2 tiles around
     # the analytic crossing to match the per-tile sign test bit-for-bit.
@@ -370,32 +427,43 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     d_value = -sign_a  # the reference's `backdrop -= s00` with s00 == sign(a)
     # Scatter into candidate slots: clamp the crossing column into the item's
     # bbox rect row; drop rows outside the rect or crossings right of it.
-    in_rect_row = (d_ty >= by0[d_item]) & (d_ty <= by1[d_item])
-    tx_eff = jnp.maximum(tx_c, bx0[d_item])
-    d_ok = del_valid & in_rect_row & (tx_eff <= bx1[d_item])
-    d_cand = (cand_excl[d_item]
-              + (d_ty - by0[d_item]) * jnp.maximum(bw[d_item], 1)
-              + (tx_eff - bx0[d_item]))
+    # (by1/bx1 reconstructed from the packed rect: by1 = by0 + bh - 1 is
+    # NOT available per segment, so carry bx1 via a small extra gather.)
+    d_by0, d_bw, d_bx0 = di32[:, 6], di32[:, 7], di32[:, 8]
+    d_item = di32[:, 4]
+    d_by1 = by1[d_item]
+    d_bx1 = bx1[d_item]
+    in_rect_row = (d_ty >= d_by0) & (d_ty <= d_by1)
+    tx_eff = jnp.maximum(tx_c, d_bx0)
+    d_ok = del_valid & in_rect_row & (tx_eff <= d_bx1)
+    d_cand = di32[:, 5] + (d_ty - d_by0) * d_bw + (tx_eff - d_bx0)
     delta_scatter = jax.ops.segment_sum(
         jnp.where(d_ok, d_value, 0.0),
         jnp.where(d_ok, d_cand, max_candidates),
         num_segments=max_candidates + 1)[:max_candidates]
     # Per-(item, row) prefix sum along tx: candidates are row-major per item,
     # so subtract the running total at each row start.
+    cand_f32_pack = jnp.concatenate(
+        [scene.colors_lin, scene.bboxes.astype(f32),
+         (f32(0.5) * scene.widths)[:, None],
+         jax.lax.bitcast_convert_type(scene.colors_u32, f32)[:, None]],
+        axis=1)                                          # (NI, 10)
+    cf = cand_f32_pack[cand_item]
+    ci = item_pack[cand_item]
     csum = jnp.cumsum(delta_scatter)
-    cand_row_start = (cand_excl[cand_item]
-                      + (cand_ty - by0[cand_item]) * jnp.maximum(bw[cand_item], 1))
+    cand_row_start = (ci[:, 3]
+                      + (cand_ty - ci[:, 5]) * jnp.maximum(ci[:, 8], 1))
     start_base = jnp.where(cand_row_start > 0, csum[cand_row_start - 1], 0.0)
     backdrop = csum[jnp.minimum(
-        cand_row_start + (cand_tx - bx0[cand_item]), max_candidates - 1)] - start_base
+        cand_row_start + (cand_tx - ci[:, 4]), max_candidates - 1)] - start_base
     if debug_stage == "deltas":
         return (backdrop.sum() + hit_n_cmds.sum() + slot0_args.sum() + slot1_args.sum())
 
 
     # ---- candidate tail commands --------------------------------------
-    c_tag_item = tags[cand_item]
-    c_color_lin = scene.colors_lin[cand_item]
-    c_color_u32 = scene.colors_u32[cand_item]
+    c_tag_item = ci[:, 0]
+    c_color_lin = cf[:, 0:4]
+    c_color_u32 = jax.lax.bitcast_convert_type(cf[:, 9], jnp.uint32)
     c_any = cand_emit > 0
     c_backdrop_nz = backdrop != 0.0
 
@@ -410,8 +478,8 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         is_circle, CMD_CIRCLE,
         jnp.where(is_drawfill, CMD_DRAW_FILL,
                   jnp.where(is_solid, CMD_SOLID, CMD_STROKE)))
-    cbb = scene.bboxes[cand_item].astype(f32)
-    chw = f32(0.5) * scene.widths[cand_item]
+    cbb = cf[:, 4:8]
+    chw = cf[:, 8]
     cand_args = jnp.zeros((max_candidates, ARG_WORDS), f32)
     a0 = jnp.where(is_circle, cbb[:, 0],
                    jnp.where(is_drawfill, backdrop,
@@ -437,25 +505,32 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         return (backdrop.sum() + cand_args.sum() + hit_n_cmds.sum() + slot0_args.sum() + slot1_args.sum())
 
 
-    # ---- global sort: two-key 32-bit lexicographic sort ---------------
-    # key1 = tile * (NI+1) + item  (painter's order per tile);
-    # key2 = class * (S+1) + seg   (segment order within an item, tail last).
-    # Keeping keys in int32 avoids x64 mode; both fit comfortably.
-    hit_key1 = h_tile * (NI + 1) + h_item
-    hit_key2 = hit_seg  # class 0
+    # ---- global sort: ONE stable 32-bit key -----------------------------
+    # key = tile * 2*(NI+1) + item * 2 + class.  Segment order within a
+    # (tile, item) group needs no key bits: hit records are generated
+    # segment-major with nondecreasing item, and candidate records
+    # item-major, so a STABLE sort preserves painter's order within groups
+    # for free.  Falls back to a (key, seg) two-key sort only if the packed
+    # key would overflow int32 (huge item counts x tile grids).
+    stride = 2 * (NI + 1)
+    packed_ok = n_tiles * stride < 2**31 - 2
     hit_live = hit_valid & (hit_n_cmds > 0)
-    hit_key1 = jnp.where(hit_live, hit_key1, I32_MAX)
-    cand_key1 = jnp.where(cand_cmd_valid, cand_tile * (NI + 1) + cand_item,
-                          I32_MAX)
-    cand_key2 = jnp.full((max_candidates,), max_segments + 1, jnp.int32)
-
+    hit_key1 = jnp.where(hit_live, h_tile * stride + h_item * 2, I32_MAX)
+    cand_key1 = jnp.where(cand_cmd_valid,
+                          cand_tile * stride + cand_item * 2 + 1, I32_MAX)
     all_key1 = jnp.concatenate([hit_key1, cand_key1])
-    all_key2 = jnp.concatenate([hit_key2, cand_key2])
     E = all_key1.shape[0]
     order_idx = jnp.arange(E, dtype=jnp.int32)
-    sorted_key1, _, sorted_idx = jax.lax.sort(
-        (all_key1, all_key2, order_idx), dimension=0, num_keys=2,
-        is_stable=True)
+    if packed_ok:
+        sorted_key1, sorted_idx = jax.lax.sort(
+            (all_key1, order_idx), dimension=0, num_keys=1, is_stable=True)
+    else:
+        all_key2 = jnp.concatenate(
+            [hit_seg, jnp.full((max_candidates,), max_segments + 1,
+                               jnp.int32)])
+        sorted_key1, _, sorted_idx = jax.lax.sort(
+            (all_key1, all_key2, order_idx), dimension=0, num_keys=2,
+            is_stable=True)
     if debug_stage == "sort":
         return (sorted_key1.sum() + sorted_idx.sum() + backdrop.sum() + cand_args.sum() + slot0_args.sum() + slot1_args.sum())
 
@@ -465,7 +540,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     hidx = jnp.minimum(sorted_idx, max_hits - 1)
     cidx = jnp.maximum(sorted_idx - max_hits, 0)
 
-    e_tile = jnp.where(live, sorted_key1 // (NI + 1), n_tiles)
+    e_tile = jnp.where(live, sorted_key1 // stride, n_tiles)
     e_ncmds = jnp.where(
         live, jnp.where(src_is_hit, hit_n_cmds[hidx], 1), 0)
     e_is_opaque = live & ~src_is_hit & is_opaque_solid[cidx]
@@ -474,46 +549,43 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     # commands do not (:102-117).
     e_is_clear = e_is_clear | (live & src_is_hit & stroke_emit[hidx])
 
-    # In-tile command positions (exclusive scan of command counts).
+    # In-tile command positions (exclusive scan of command counts) and all
+    # per-tile reductions (entry range, bail analysis) in ONE segment_max:
+    # entries are tile-sorted, so within a tile entry-index order equals
+    # command-position order, and first/last/last-opaque/last-clear are all
+    # index maxima of per-entry values (first via the negated index).
     cpos_excl, _ = _exclusive_cumsum(e_ncmds)
-    tile_first_entry = jnp.searchsorted(
-        e_tile, jnp.arange(n_tiles, dtype=jnp.int32), side="left")
-    tile_last_entry = jnp.searchsorted(
-        e_tile, jnp.arange(n_tiles, dtype=jnp.int32), side="right")
-    safe_first = jnp.minimum(tile_first_entry, E - 1)
-    tile_cmd_base = jnp.where(
-        tile_first_entry < tile_last_entry, cpos_excl[safe_first], 0)
+    eidx = jnp.arange(E, dtype=jnp.int32)
+    seg_tile = jnp.minimum(e_tile, n_tiles)
+    packed = jnp.stack(
+        [-eidx - 1,                                   # -> first entry
+         eidx,                                        # -> last entry
+         jnp.where(e_is_opaque, eidx, -1),            # -> last opaque
+         jnp.where(e_is_clear, eidx, -2)],            # -> last clearing
+        axis=1)
+    red = jax.ops.segment_max(packed, seg_tile,
+                              num_segments=n_tiles + 1)[:n_tiles]
+    first_raw = -red[:, 0] - 1
+    last_raw = red[:, 1]
+    has_entries = last_raw >= 0
+    first_c = jnp.clip(first_raw, 0, E - 1)
+    last_c = jnp.clip(last_raw, 0, E - 1)
+    tile_cmd_base = jnp.where(has_entries, cpos_excl[first_c], 0)
     tile_cmd_total = jnp.where(
-        tile_first_entry < tile_last_entry,
-        cpos_excl[jnp.minimum(tile_last_entry - 1, E - 1)]
-        + e_ncmds[jnp.minimum(tile_last_entry - 1, E - 1)]
-        - tile_cmd_base, 0)
+        has_entries, cpos_excl[last_c] + e_ncmds[last_c] - tile_cmd_base, 0)
     e_pos = cpos_excl - tile_cmd_base[jnp.minimum(e_tile, n_tiles - 1)]
     if debug_stage == "pos":
         return (e_pos.sum() + sorted_idx.sum() + backdrop.sum() + cand_args.sum() + slot0_args.sum() + slot1_args.sum())
 
 
-    # ---- bail analysis ------------------------------------------------
-    seg_ids = jnp.minimum(e_tile, n_tiles)
-    last_opaque = jax.ops.segment_max(
-        jnp.where(e_is_opaque, e_pos, -1), seg_ids,
-        num_segments=n_tiles + 1)[:n_tiles]
-    last_opaque = jnp.maximum(last_opaque, -1)
-    last_clear = jax.ops.segment_max(
-        jnp.where(e_is_clear, e_pos, -2), seg_ids,
-        num_segments=n_tiles + 1)[:n_tiles]
-    last_clear = jnp.maximum(last_clear, -2)
-    bail = last_clear < last_opaque
-
-    # Bail color: the opaque solid whose position equals last_opaque.  Its
-    # in-tile position is unique, so a second segment_max over matching
-    # entry indices recovers the entry without 64-bit arithmetic.
-    is_best = e_is_opaque & (e_pos == last_opaque[jnp.minimum(
-        e_tile, n_tiles - 1)])
-    best_entry = jax.ops.segment_max(
-        jnp.where(is_best, jnp.arange(E, dtype=jnp.int32), -1), seg_ids,
-        num_segments=n_tiles + 1)[:n_tiles]
-    best_entry = jnp.maximum(best_entry, 0)
+    # ---- bail analysis (from the fused reduction) ---------------------
+    opq_e = jnp.maximum(red[:, 2], -1)
+    clr_e = jnp.maximum(red[:, 3], -2)
+    bail = clr_e < opq_e
+    best_entry = jnp.maximum(opq_e, 0)
+    # Command position of the last opaque solid (the dense path's stream
+    # reset point); -1 when the tile has none.
+    last_opaque = jnp.where(opq_e >= 0, e_pos[best_entry], -1)
     best_color = c_color_u32[cidx[best_entry]]
     solid_color = jnp.where(
         bail, jnp.where(last_opaque >= 0, best_color,
@@ -529,44 +601,79 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     overflow = jnp.maximum(count_post - cmd_capacity, 0)
     counts = jnp.minimum(count_post, cmd_capacity)
 
-    out_tags = jnp.zeros((n_tiles * cmd_capacity + 1,), jnp.int32)
-    out_args = jnp.zeros((n_tiles * cmd_capacity + 1, ARG_WORDS), f32)
+    # Slot contents per sorted entry (slot0 = FillEdge|Line or the tail
+    # command; slot1 = Fill).
+    e_slot0_valid = live & jnp.where(src_is_hit, slot0_valid[hidx],
+                                     cand_cmd_valid[cidx])
+    e_slot0_tag = jnp.where(src_is_hit, slot0_tag[hidx], cand_tag[cidx])
+    e_slot0_args = jnp.where(src_is_hit[:, None], slot0_args[hidx],
+                             cand_args[cidx])
+    e_s1_valid = live & src_is_hit & slot1_valid[hidx]
+    e_s1_args = slot1_args[hidx]
+
+    if output == "entries":
+        # Entry-stream PTCL: keep the sorted entries as the command list
+        # and give each tile its index range -- no scatter at all (the
+        # dense path's two row scatters are ~30 ms at 128k records).
+        tag0 = jnp.where(e_slot0_valid, e_slot0_tag, 0).astype(f32)
+        tag1 = jnp.where(e_s1_valid, jnp.int32(CMD_FILL), 0).astype(f32)
+        stream16 = jnp.concatenate(
+            [tag0[:, None], e_slot0_args[:, :7],
+             tag1[:, None], e_s1_args[:, :7]], axis=1)   # (E, 16)
+        stream = stream16.reshape(E // 128, 128, 16).transpose(0, 2, 1)
+        # Per-tile live range: the dense path's start/count logic, in
+        # entry units.  The stream reset at an opaque solid keeps entries
+        # from best_entry on (TileEncoder cursor reset,
+        # PietRender.metal:127-142).
+        first_live = jnp.where(last_opaque >= 0, best_entry, first_c)
+        n_live = jnp.where(bail | ~has_entries, 0,
+                           last_raw - first_live + 1)
+        first_live = jnp.where(n_live > 0, first_live, 0)
+        diag = {
+            "n_segments": n_segs, "n_hits": n_hits, "n_candidates": n_cand,
+            "n_deltas": n_deltas,
+            "seg_overflow": jnp.maximum(n_segs - max_segments, 0),
+            "hit_overflow": jnp.maximum(n_hits - max_hits, 0),
+            "cand_overflow": jnp.maximum(n_cand - max_candidates, 0),
+            "delta_overflow": jnp.maximum(n_deltas - max_deltas, 0),
+        }
+        return CoarseEntries(stream=stream, first=first_live,
+                             n_entries=n_live, counts=count_post,
+                             solid=solid_color, diag=diag)
+
+    # One fused (1 + ARG_WORDS)-wide f32 row per command, tag bitcast into
+    # word 0, so each slot costs a single scatter (TPU scatters are ~12 ms
+    # per 128k rows; splitting tags/args would double that).
+    out_rows = jnp.zeros((n_tiles * cmd_capacity + 1, 1 + ARG_WORDS), f32)
 
     e_tile_c = jnp.minimum(e_tile, n_tiles - 1)
     rel = e_pos - start[e_tile_c]
 
-    def scatter_slot(out_tags, out_args, slot_off, s_valid, s_tag, s_args):
+    def scatter_slot(out_rows, slot_off, s_valid, s_tag, s_args):
         pos = rel + slot_off
-        ok = live & s_valid & (pos >= 0) & (pos < counts[e_tile_c]) \
+        ok = s_valid & (pos >= 0) & (pos < counts[e_tile_c]) \
             & ~bail[e_tile_c]
-        # Bailed tiles keep only nothing (counts == 0), handled by `ok`.
+        # Bailed tiles keep nothing (counts == 0), handled by `ok`.
         flat = jnp.where(ok, e_tile_c * cmd_capacity + pos,
                          n_tiles * cmd_capacity)
-        out_tags = out_tags.at[flat].set(jnp.where(ok, s_tag, 0),
-                                         mode="drop")
-        out_args = out_args.at[flat].set(
-            jnp.where(ok[:, None], s_args, 0.0), mode="drop")
-        return out_tags, out_args
+        row = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(
+                jnp.where(ok, s_tag, 0), f32)[:, None],
+             jnp.where(ok[:, None], s_args, 0.0)], axis=1)
+        return out_rows.at[flat].set(row, mode="drop")
 
-    # Entry slot 0.
-    e_slot0_valid = jnp.where(src_is_hit, slot0_valid[hidx],
-                              cand_cmd_valid[cidx])
-    e_slot0_tag = jnp.where(src_is_hit, slot0_tag[hidx], cand_tag[cidx])
-    e_slot0_args = jnp.where(src_is_hit[:, None], slot0_args[hidx],
-                             cand_args[cidx])
     # A fill hit whose slot0 (FillEdge) is invalid but slot1 (Fill) valid
     # must place the Fill at position rel+0, not rel+1.
-    e_s1_valid = src_is_hit & slot1_valid[hidx]
-    s1_off = jnp.where(e_slot0_valid, 1, 0)
-    e_slot0_valid_eff = jnp.where(e_slot0_valid, True, False)
-    out_tags, out_args = scatter_slot(
-        out_tags, out_args, 0,
-        e_slot0_valid_eff | (e_s1_valid & ~e_slot0_valid),
+    out_rows = scatter_slot(
+        out_rows, 0,
+        e_slot0_valid | (e_s1_valid & ~e_slot0_valid),
         jnp.where(e_slot0_valid, e_slot0_tag, slot1_tag[hidx]),
-        jnp.where(e_slot0_valid[:, None], e_slot0_args, slot1_args[hidx]))
-    out_tags, out_args = scatter_slot(
-        out_tags, out_args, 1, e_s1_valid & e_slot0_valid,
-        slot1_tag[hidx], slot1_args[hidx])
+        jnp.where(e_slot0_valid[:, None], e_slot0_args, e_s1_args))
+    out_rows = scatter_slot(
+        out_rows, 1, e_s1_valid & e_slot0_valid,
+        slot1_tag[hidx], e_s1_args)
+    out_tags = jax.lax.bitcast_convert_type(out_rows[:-1, 0], jnp.int32)
+    out_args = out_rows[:-1, 1:]
 
     diag = {
         "n_segments": n_segs, "n_hits": n_hits, "n_candidates": n_cand,
@@ -577,6 +684,6 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         "delta_overflow": jnp.maximum(n_deltas - max_deltas, 0),
     }
     return CoarseOutput(
-        tags=out_tags[:-1].reshape(n_tiles, cmd_capacity),
-        args=out_args[:-1].reshape(n_tiles, cmd_capacity * ARG_WORDS),
+        tags=out_tags.reshape(n_tiles, cmd_capacity),
+        args=out_args.reshape(n_tiles, cmd_capacity * ARG_WORDS),
         counts=counts, solid=solid_color, overflow=overflow, diag=diag)

@@ -187,3 +187,151 @@ def fine_rasterize(counts: jax.Array, tags: jax.Array, args: jax.Array,
     return (tiles.reshape(tiles_y, tiles_x, tile_h, tile_w)
             .transpose(0, 2, 1, 3)
             .reshape(tiles_y * tile_h, tiles_x * tile_w))
+
+
+# ---------------------------------------------------------------------------
+# Entry-stream fine rasterizer: consumes the coarse pass's sorted entry
+# stream directly (ops/coarse.py::CoarseEntries) -- per tile, a contiguous
+# range [first, first + n) of 2-slot entries.  Removes the dense (T, CAP)
+# PTCL entirely: no coarse-side scatter, no per-tile capacity, no overflow.
+# DMA granularity is one 128-entry block (16x128 f32 = 8 KiB); a tile's
+# range starts mid-block, so the first block is fetched whole and `skip`
+# lanes are ignored (over-fetch is <= 127 entries, ~8 KiB -- noise next to
+# the removed scatters).
+
+
+def _fine_entries_kernel(first_ref, n_ref, row0_ref, stream_hbm, out_ref,
+                         cmds_s, sems, *, tile_h: int, tile_w: int,
+                         tiles_x: int, interpret: bool):
+    if interpret:
+        bar = jax.lax.optimization_barrier  # best-effort (see cmd_math.py)
+    else:
+        def bar(x):
+            return x  # Mosaic does not contract mul+add (verified vs oracle)
+
+    t = pl.program_id(0)
+    fe = first_ref[t]
+    n = n_ref[t]
+    ty = row0_ref[0] + t // tiles_x
+    tx = t % tiles_x
+    x0 = (tx * tile_w).astype(jnp.float32)
+    y0 = (ty * tile_h).astype(jnp.float32)
+    X = x0 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+    Y = y0 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+
+    base_blk = fe // 128
+    skip = fe % 128
+    total = skip + n
+    n_chunks = jnp.maximum(pl.cdiv(total, 128), 1)
+
+    def chunk_dma(slot, ci):
+        return pltpu.make_async_copy(
+            stream_hbm.at[base_blk + ci], cmds_s.at[slot], sems.at[slot])
+
+    chunk_dma(0, 0).start()
+
+    cmds = make_commands(X, Y, bar)
+
+    def lift(cmd, word_base):
+        def branch(slot, j, r, g, b, df, area):
+            def arg(k):
+                return cmds_s[slot, word_base + 1 + k, j]
+            return cmd(arg, r, g, b, df, area)
+        return branch
+
+    def noop(slot, j, r, g, b, df, area):
+        return r, g, b, df, area
+
+    # Slot 0 can be any command; tag 0 = empty.  Branch index = tag - 1
+    # clamped (tag 1 = Cmd_End never appears in the stream).
+    slot0_branches = (noop,) + tuple(lift(c, 0) for c in cmds)
+
+    def entry_body(j, st):
+        r, g, b, df, area = st
+        slot = jax.lax.rem(j // 128, 2)
+        lane = jax.lax.rem(j, 128)
+        tag0 = cmds_s[slot, 0, lane].astype(jnp.int32)
+        idx0 = jnp.clip(tag0 - 1, 0, 7)
+        st = jax.lax.switch(idx0, slot0_branches, slot, lane, r, g, b, df,
+                            area)
+        r, g, b, df, area = st
+        # Slot 1 is only ever CmdFill (tag 0 = empty).
+        tag1 = cmds_s[slot, 8, lane]
+
+        def do_fill(slot, lane, r, g, b, df, area):
+            return lift(cmds[2], 8)(slot, lane, r, g, b, df, area)
+
+        return jax.lax.cond(tag1 > 0.0, do_fill, noop, slot, lane, r, g, b,
+                            df, area)
+
+    def chunk_body(ci, st):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            chunk_dma(1 - slot, ci + 1).start()
+
+        chunk_dma(slot, ci).wait()
+
+        lo = jnp.where(ci == 0, skip, 0)
+        hi = jnp.minimum(total - ci * 128, 128)
+        # entry_body decodes (slot, lane) from a flat index so the loop
+        # bounds stay chunk-local.
+        return jax.lax.fori_loop(slot * 128 + lo, slot * 128 + hi,
+                                 entry_body, st)
+
+    shp = (tile_h, tile_w)
+    state0 = (jnp.ones(shp, jnp.float32), jnp.ones(shp, jnp.float32),
+              jnp.ones(shp, jnp.float32), jnp.full(shp, DF_INIT, jnp.float32),
+              jnp.zeros(shp, jnp.float32))
+    r, g, b, _, _ = jax.lax.fori_loop(0, n_chunks, chunk_body, state0)
+
+    out_ref[0] = pack_rgba8(r, g, b, bar)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "tiles_x",
+                                             "interpret"))
+def fine_rasterize_entries(first: jax.Array, n_entries: jax.Array,
+                           stream: jax.Array, row0=0, *, tile_h: int,
+                           tile_w: int, tiles_x: int,
+                           interpret: bool = False) -> jax.Array:
+    """Rasterize all tiles from an entry stream (CoarseEntries).
+
+    Args:
+      first: (T,) int32 first live entry per tile.
+      n_entries: (T,) int32 live entries per tile.
+      stream: (E/128, 16, 128) f32 packed entry blocks.
+      row0: first tile row of this shard's slab (traced OK).
+
+    Returns:
+      (T // tiles_x * tile_h, tiles_x * tile_w) uint32 packed RGBA8 pixels.
+    """
+    n_tiles = first.shape[0]
+    tiles_y = n_tiles // tiles_x
+    kernel = functools.partial(
+        _fine_entries_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
+        interpret=interpret)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, tile_h, tile_w),
+                               lambda t, f, nn, r0: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((2, 16, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    tiles = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w),
+                                       jnp.uint32),
+        interpret=interpret,
+    )(first, n_entries, jnp.asarray(row0, jnp.int32).reshape(1), stream)
+    return (tiles.reshape(tiles_y, tiles_x, tile_h, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(tiles_y * tile_h, tiles_x * tile_w))

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import RenderConfig
 from ..ops.coarse import CoarseOutput, DeviceScene, coarse_rasterize
-from ..ops.fine import fine_rasterize
+from ..ops.fine import fine_rasterize, fine_rasterize_entries
 from ..ops.fine_xla import fine_rasterize_xla
 from ..scene.color import decode_color_linear
 from ..scene.scene import Scene
@@ -93,24 +93,30 @@ def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
     the single-chip renderer and the row-sharded multi-chip path
     (parallel/sharding.py)."""
     tiles_x = config.tiles_x
-    coarse = coarse_rasterize(
-        scene, tiles_x=tiles_x, tiles_y=tiles_y,
-        tile_w=config.tile_width, tile_h=config.tile_height,
-        cmd_capacity=config.cmd_capacity,
+    base_kw = dict(
+        tiles_x=tiles_x, tiles_y=tiles_y, tile_w=config.tile_width,
+        tile_h=config.tile_height, cmd_capacity=config.cmd_capacity,
         max_segments=config.max_segments, max_hits=config.max_hits,
         max_candidates=config.max_candidates,
         max_deltas=config.max_deltas, row0=row0)
-    counts2d = coarse.counts.reshape(tiles_y, tiles_x)
     if fine_impl == "xla":
+        # Portable path: dense (T, CAP) PTCL + pure-XLA interpreter.
+        coarse = coarse_rasterize(scene, **base_kw)
+        counts2d = coarse.counts.reshape(tiles_y, tiles_x)
         fine = fine_rasterize_xla(
             counts2d, coarse.tags, coarse.args, row0,
             tile_h=config.tile_height, tile_w=config.tile_width,
             cmd_capacity=config.cmd_capacity)
+        overflow_cmds = coarse.overflow.sum()
     else:
-        fine = fine_rasterize(
-            counts2d, coarse.tags, coarse.args, row0,
+        # TPU production path: entry-stream PTCL (no scatter, no per-tile
+        # capacity -- see ops/coarse.py::CoarseEntries).
+        coarse = coarse_rasterize(scene, output="entries", **base_kw)
+        fine = fine_rasterize_entries(
+            coarse.first, coarse.n_entries, coarse.stream, row0,
             tile_h=config.tile_height, tile_w=config.tile_width,
-            cmd_capacity=config.cmd_capacity, interpret=interpret)
+            tiles_x=tiles_x, interpret=interpret)
+        overflow_cmds = jnp.int32(0)
     # Present composite: bailed tiles take their solid color bytes
     # (reference present fast path, PietRender.metal:34-44).
     solid2d = coarse.solid.reshape(tiles_y, tiles_x)
@@ -124,7 +130,7 @@ def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
     img = jnp.where(bail_px, present_px, fine)
     stats = {
         "max_tile_cmds": coarse.counts.max(),
-        "overflow_cmds": coarse.overflow.sum(),
+        "overflow_cmds": overflow_cmds,
         "bail_tiles": bail2d.sum(),
         **coarse.diag,
     }
