@@ -1,0 +1,182 @@
+"""Command-line entry points: render / bench / goldens / info.
+
+The reference's "app shell" is a Cocoa window wired to a 60 Hz redraw
+(TestApp/main.m, ViewController.m:12-29); headless TPU hosts get a CLI
+instead, with PNG output and the fixture/benchmark scenes as subjects.
+
+Usage:
+    python -m piet_tpu render --scene tiger --out tiger.png
+    python -m piet_tpu render --scene tiger --scale 19.2 --width 3840 \\
+        --height 2160 --out tiger4k.png
+    python -m piet_tpu bench --scene beziers_10k --frames 20
+    python -m piet_tpu goldens --outdir goldens/
+    python -m piet_tpu info
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def _build_scene(args):
+    from .scene.fixtures import get_scene
+    kw = {}
+    if args.scene == "tiger" and args.scale:
+        kw["scale"] = args.scale
+    if args.scene == "animated":
+        kw["t"] = args.t
+    return get_scene(args.scene, **kw)
+
+
+def _config_for(args, scene):
+    from .config import RenderConfig
+    import numpy as np
+    w = args.width or int(np.ceil(scene.bboxes[:, 2].max() + 8))
+    h = args.height or int(np.ceil(scene.bboxes[:, 3].max() + 8))
+    cfg = RenderConfig(width=w, height=h)
+    # Generous default caps; SceneCapacityError messages name the knob.
+    caps = dict(max_items=1 << 14, max_points=1 << 18,
+                max_segments=1 << 18, max_hits=1 << 20,
+                max_candidates=1 << 17, max_deltas=1 << 16)
+    for k, v in caps.items():
+        if getattr(cfg, k) < v:
+            cfg = dataclasses.replace(cfg, **{k: v})
+    return cfg
+
+
+def cmd_render(args) -> int:
+    from .renderer.renderer import Renderer
+    from .scene.scene import Scene
+    from .utils.png import write_png
+
+    if args.load:
+        scene = Scene.load(args.load)
+    else:
+        scene = _build_scene(args)
+    if args.save_scene:
+        scene.save(args.save_scene)
+    cfg = _config_for(args, scene)
+    t0 = time.time()
+    renderer = Renderer(cfg, fine_impl=args.fine_impl)
+    img = renderer.render(scene)
+    print(f"rendered {cfg.width}x{cfg.height} in {time.time() - t0:.1f}s "
+          f"(includes compile); stats: "
+          f"{ {k: int(v) for k, v in renderer.last_stats.items()} }")
+    write_png(args.out, img)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import numpy as np
+    from .renderer.renderer import Renderer, prepare_scene
+
+    scene = _build_scene(args)
+    cfg = _config_for(args, scene)
+    renderer = Renderer(cfg, fine_impl=args.fine_impl)
+    renderer.render(scene)  # compile + capacity check
+    dev = prepare_scene(scene, cfg)
+    times = []
+    for _ in range(args.frames):
+        t0 = time.perf_counter()
+        img, _ = renderer._render(dev)
+        img.block_until_ready()
+        times.append((time.perf_counter() - t0) * 1e3)
+    value = float(np.median(times))
+    print(json.dumps({
+        "scene": args.scene, "viewport": f"{cfg.width}x{cfg.height}",
+        "ms_per_frame": round(value, 3), "frames": args.frames,
+        "fill_mpix_per_s": round(cfg.width * cfg.height / value / 1e3, 1),
+    }))
+    return 0
+
+
+def cmd_goldens(args) -> int:
+    """Render every fixture through the device path and the CPU oracle,
+    write PNG pairs, and report the max difference."""
+    import os
+
+    import numpy as np
+
+    from .config import RenderConfig
+    from .raster.cpu_fine import cpu_render_scene
+    from .renderer.renderer import Renderer
+    from .scene.fixtures import get_scene
+    from .utils.png import write_png
+
+    os.makedirs(args.outdir, exist_ok=True)
+    names = ["path_test", "cardioid", "circles_rects", "glyph_page"]
+    worst = 0
+    for name in names:
+        scene = get_scene(name)
+        cfg = RenderConfig(width=1024, height=1024, tile_height=16,
+                           tile_width=128, max_items=1 << 12,
+                           max_points=1 << 17, max_segments=1 << 17,
+                           max_hits=1 << 19, max_candidates=1 << 16,
+                           max_deltas=1 << 14)
+        img = Renderer(cfg, fine_impl=args.fine_impl).render(scene)
+        gold = cpu_render_scene(scene, cfg)
+        diff = int(np.abs(img.astype(int) - gold.astype(int)).max())
+        worst = max(worst, diff)
+        write_png(os.path.join(args.outdir, f"{name}.png"), img)
+        write_png(os.path.join(args.outdir, f"{name}_golden.png"), gold)
+        print(f"{name}: max |device - golden| = {diff}")
+    return 0 if worst <= args.tolerance else 1
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    from . import native
+    print(f"backend: {jax.default_backend()}")
+    print(f"devices: {jax.devices()}")
+    print(f"native C++ library: "
+          f"{'available' if native.available() else 'unavailable'}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="piet_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def scene_args(sp):
+        sp.add_argument("--scene", default="tiger")
+        sp.add_argument("--scale", type=float, default=None)
+        sp.add_argument("--t", type=float, default=0.0)
+        sp.add_argument("--width", type=int, default=None)
+        sp.add_argument("--height", type=int, default=None)
+        sp.add_argument("--fine-impl", default="auto",
+                        choices=["auto", "pallas", "xla"])
+
+    r = sub.add_parser("render", help="render a scene to PNG")
+    scene_args(r)
+    r.add_argument("--out", default="out.png")
+    r.add_argument("--load", help="load scene from .npz instead")
+    r.add_argument("--save-scene", help="also save the scene as .npz")
+    r.set_defaults(fn=cmd_render)
+
+    b = sub.add_parser("bench", help="time a scene, print JSON")
+    scene_args(b)
+    b.add_argument("--frames", type=int, default=20)
+    b.set_defaults(fn=cmd_bench)
+
+    g = sub.add_parser("goldens", help="device vs CPU-oracle PNG pairs")
+    g.add_argument("--outdir", default="goldens")
+    g.add_argument("--tolerance", type=int, default=0)
+    g.add_argument("--fine-impl", default="auto",
+                   choices=["auto", "pallas", "xla"])
+    g.set_defaults(fn=cmd_goldens)
+
+    i = sub.add_parser("info", help="backend / native library status")
+    i.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

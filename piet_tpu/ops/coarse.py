@@ -505,6 +505,33 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         return (backdrop.sum() + cand_args.sum() + hit_n_cmds.sum() + slot0_args.sum() + slot1_args.sum())
 
 
+    # ---- pre-sort row assembly (entries output) -----------------------
+    # The post-sort side then needs only TWO gathers (rows, meta) instead
+    # of a dozen per-attribute gathers at sorted indices.
+    if output == "entries":
+        hit_tag0 = jnp.where(slot0_valid, slot0_tag, 0)
+        hit_tag1 = jnp.where(slot1_valid, jnp.int32(CMD_FILL), 0)
+        hit_rows = jnp.concatenate(
+            [hit_tag0.astype(f32)[:, None], slot0_args[:, :7],
+             hit_tag1.astype(f32)[:, None], slot1_args[:, :7]],
+            axis=1)                                      # (H, 16)
+        cand_tag0 = jnp.where(cand_cmd_valid, cand_tag, 0)
+        cand_rows = jnp.concatenate(
+            [cand_tag0.astype(f32)[:, None], cand_args[:, :7],
+             jnp.zeros((max_candidates, 5), f32),
+             jax.lax.bitcast_convert_type(
+                 jnp.where(is_opaque_solid, c_color_u32,
+                           jnp.uint32(0)), f32)[:, None],
+             jnp.zeros((max_candidates, 2), f32)],
+            axis=1)                                      # (C, 16)
+        all_rows = jnp.concatenate([hit_rows, cand_rows])
+        hit_meta = (hit_n_cmds
+                    | (stroke_emit.astype(jnp.int32) << 3))
+        cand_meta = (cand_cmd_valid.astype(jnp.int32)
+                     | (is_opaque_solid.astype(jnp.int32) << 2)
+                     | (cand_is_clear.astype(jnp.int32) << 3))
+        all_meta = jnp.concatenate([hit_meta, cand_meta])
+
     # ---- global sort: ONE stable 32-bit key -----------------------------
     # key = tile * 2*(NI+1) + item * 2 + class.  Segment order within a
     # (tile, item) group needs no key bits: hit records are generated
@@ -536,18 +563,24 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
 
 
     live = sorted_key1 < I32_MAX
-    src_is_hit = sorted_idx < max_hits
-    hidx = jnp.minimum(sorted_idx, max_hits - 1)
-    cidx = jnp.maximum(sorted_idx - max_hits, 0)
-
     e_tile = jnp.where(live, sorted_key1 // stride, n_tiles)
-    e_ncmds = jnp.where(
-        live, jnp.where(src_is_hit, hit_n_cmds[hidx], 1), 0)
-    e_is_opaque = live & ~src_is_hit & is_opaque_solid[cidx]
-    e_is_clear = live & ~src_is_hit & cand_is_clear[cidx]
-    # Hit-record clearing cmds: CmdLine clears bail (:90); fill coverage
-    # commands do not (:102-117).
-    e_is_clear = e_is_clear | (live & src_is_hit & stroke_emit[hidx])
+    if output == "entries":
+        e_rows = all_rows[sorted_idx]
+        e_meta = jnp.where(live, all_meta[sorted_idx], 0)
+        e_ncmds = e_meta & 3
+        e_is_opaque = (e_meta & 4) != 0
+        # Clearing state: CmdLine clears bail (PietRender.metal:90); fill
+        # coverage commands do not (:102-117); candidate clears per tag.
+        e_is_clear = (e_meta & 8) != 0
+    else:
+        src_is_hit = sorted_idx < max_hits
+        hidx = jnp.minimum(sorted_idx, max_hits - 1)
+        cidx = jnp.maximum(sorted_idx - max_hits, 0)
+        e_ncmds = jnp.where(
+            live, jnp.where(src_is_hit, hit_n_cmds[hidx], 1), 0)
+        e_is_opaque = live & ~src_is_hit & is_opaque_solid[cidx]
+        e_is_clear = live & ~src_is_hit & cand_is_clear[cidx]
+        e_is_clear = e_is_clear | (live & src_is_hit & stroke_emit[hidx])
 
     # In-tile command positions (exclusive scan of command counts) and all
     # per-tile reductions (entry range, bail analysis) in ONE segment_max:
@@ -586,7 +619,11 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     # Command position of the last opaque solid (the dense path's stream
     # reset point); -1 when the tile has none.
     last_opaque = jnp.where(opq_e >= 0, e_pos[best_entry], -1)
-    best_color = c_color_u32[cidx[best_entry]]
+    if output == "entries":
+        best_color = jax.lax.bitcast_convert_type(
+            e_rows[best_entry, 13], jnp.uint32)
+    else:
+        best_color = c_color_u32[cidx[best_entry]]
     solid_color = jnp.where(
         bail, jnp.where(last_opaque >= 0, best_color,
                         jnp.uint32(0xFFFFFFFF)), jnp.uint32(0))
@@ -601,25 +638,12 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     overflow = jnp.maximum(count_post - cmd_capacity, 0)
     counts = jnp.minimum(count_post, cmd_capacity)
 
-    # Slot contents per sorted entry (slot0 = FillEdge|Line or the tail
-    # command; slot1 = Fill).
-    e_slot0_valid = live & jnp.where(src_is_hit, slot0_valid[hidx],
-                                     cand_cmd_valid[cidx])
-    e_slot0_tag = jnp.where(src_is_hit, slot0_tag[hidx], cand_tag[cidx])
-    e_slot0_args = jnp.where(src_is_hit[:, None], slot0_args[hidx],
-                             cand_args[cidx])
-    e_s1_valid = live & src_is_hit & slot1_valid[hidx]
-    e_s1_args = slot1_args[hidx]
-
     if output == "entries":
-        # Entry-stream PTCL: keep the sorted entries as the command list
-        # and give each tile its index range -- no scatter at all (the
-        # dense path's two row scatters are ~30 ms at 128k records).
-        tag0 = jnp.where(e_slot0_valid, e_slot0_tag, 0).astype(f32)
-        tag1 = jnp.where(e_s1_valid, jnp.int32(CMD_FILL), 0).astype(f32)
-        stream16 = jnp.concatenate(
-            [tag0[:, None], e_slot0_args[:, :7],
-             tag1[:, None], e_s1_args[:, :7]], axis=1)   # (E, 16)
+        # Entry-stream PTCL: the sorted rows ARE the command list; each
+        # tile gets an index range -- no scatter at all (the dense path's
+        # two row scatters are ~30 ms at 128k records).  Dead entries
+        # carry tag 0 rows by construction.
+        stream16 = jnp.where(live[:, None], e_rows, 0.0)
         stream = stream16.reshape(E // 128, 128, 16).transpose(0, 2, 1)
         # Per-tile live range: the dense path's start/count logic, in
         # entry units.  The stream reset at an opaque solid keeps entries
@@ -640,6 +664,16 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         return CoarseEntries(stream=stream, first=first_live,
                              n_entries=n_live, counts=count_post,
                              solid=solid_color, diag=diag)
+
+    # Slot contents per sorted entry (slot0 = FillEdge|Line or the tail
+    # command; slot1 = Fill).
+    e_slot0_valid = live & jnp.where(src_is_hit, slot0_valid[hidx],
+                                     cand_cmd_valid[cidx])
+    e_slot0_tag = jnp.where(src_is_hit, slot0_tag[hidx], cand_tag[cidx])
+    e_slot0_args = jnp.where(src_is_hit[:, None], slot0_args[hidx],
+                             cand_args[cidx])
+    e_s1_valid = live & src_is_hit & slot1_valid[hidx]
+    e_s1_args = slot1_args[hidx]
 
     # One fused (1 + ARG_WORDS)-wide f32 row per command, tag bitcast into
     # word 0, so each slot costs a single scatter (TPU scatters are ~12 ms

@@ -69,6 +69,24 @@ class Scene:
     def n_points(self) -> int:
         return int(self.points.shape[0])
 
+    def save(self, path: str) -> None:
+        """Persist as .npz -- scene checkpointing for benchmark
+        reproducibility (the reference re-encodes from SVG at every
+        resize and has no persistence, PietRenderer.m:105-146)."""
+        np.savez_compressed(
+            path, tags=self.tags, colors=self.colors, widths=self.widths,
+            bboxes=self.bboxes, pt_offset=self.pt_offset, n_pts=self.n_pts,
+            points=self.points)
+
+    @classmethod
+    def load(cls, path: str) -> "Scene":
+        z = np.load(path)
+        scene = cls(tags=z["tags"], colors=z["colors"], widths=z["widths"],
+                    bboxes=z["bboxes"], pt_offset=z["pt_offset"],
+                    n_pts=z["n_pts"], points=z["points"])
+        scene.validate()
+        return scene
+
     def validate(self) -> None:
         n = self.n_items
         assert self.colors.shape == (n,)

@@ -1,0 +1,42 @@
+"""CLI + scene persistence: the app-shell equivalent (reference C14)."""
+
+import os
+
+import numpy as np
+
+from piet_tpu.cli import main
+from piet_tpu.scene.fixtures import make_path_test
+from piet_tpu.scene.scene import Scene
+from piet_tpu.utils.png import read_png
+
+
+def test_scene_save_load_roundtrip(tmp_path):
+    scene = make_path_test()
+    p = str(tmp_path / "s.npz")
+    scene.save(p)
+    back = Scene.load(p)
+    for f in ("tags", "colors", "widths", "bboxes", "pt_offset", "n_pts",
+              "points"):
+        np.testing.assert_array_equal(getattr(scene, f), getattr(back, f))
+
+
+def test_cli_render_writes_png(tmp_path):
+    out = str(tmp_path / "t.png")
+    npz = str(tmp_path / "t.npz")
+    rc = main(["render", "--scene", "path_test", "--width", "320",
+               "--height", "832", "--fine-impl", "xla", "--out", out,
+               "--save-scene", npz])
+    assert rc == 0
+    img = read_png(out)
+    assert img.shape == (832, 320, 4)
+    assert os.path.exists(npz)
+    # render from the saved scene gives the identical image
+    out2 = str(tmp_path / "t2.png")
+    rc = main(["render", "--load", npz, "--width", "320", "--height", "832",
+               "--fine-impl", "xla", "--scene", "path_test", "--out", out2])
+    assert rc == 0
+    np.testing.assert_array_equal(read_png(out2), img)
+
+
+def test_cli_info():
+    assert main(["info"]) == 0
