@@ -230,7 +230,31 @@ def _fine_entries_kernel(first_ref, n_ref, row0_ref, stream_hbm, out_ref,
         return pltpu.make_async_copy(
             stream_hbm.at[base_blk + ci], cmds_s.at[slot], sems.at[slot])
 
-    chunk_dma(0, 0).start()
+    # Cross-tile chunk-0 prefetch: scratch persists across the sequential
+    # grid, so each tile fetches the NEXT tile's first block as soon as its
+    # own is in hand, hiding the HBM latency that otherwise serializes at
+    # every tile.  Slots 0/1 double-buffer in-tile chunks; slots 2/3
+    # alternate by tile parity for the prefetched chunk 0.
+    pslot = 2 + jax.lax.rem(t, 2)
+    nslot = 2 + jax.lax.rem(t + 1, 2)
+
+    @pl.when(t == 0)
+    def _():
+        chunk_dma(pslot, 0).start()
+
+    chunk_dma(pslot, 0).wait()
+
+    n_tiles_total = pl.num_programs(0)
+
+    @pl.when(t + 1 < n_tiles_total)
+    def _():
+        fe_next = first_ref[t + 1]
+        pltpu.make_async_copy(stream_hbm.at[fe_next // 128],
+                              cmds_s.at[nslot], sems.at[nslot]).start()
+
+    @pl.when(n_chunks > 1)
+    def _():
+        chunk_dma(0, 1).start()
 
     cmds = make_commands(X, Y, bar)
 
@@ -250,7 +274,7 @@ def _fine_entries_kernel(first_ref, n_ref, row0_ref, stream_hbm, out_ref,
 
     def entry_body(j, st):
         r, g, b, df, area = st
-        slot = jax.lax.rem(j // 128, 2)
+        slot = j // 128
         lane = jax.lax.rem(j, 128)
         tag0 = cmds_s[slot, 0, lane].astype(jnp.int32)
         idx0 = jnp.clip(tag0 - 1, 0, 7)
@@ -267,13 +291,15 @@ def _fine_entries_kernel(first_ref, n_ref, row0_ref, stream_hbm, out_ref,
                             df, area)
 
     def chunk_body(ci, st):
-        slot = jax.lax.rem(ci, 2)
+        slot = jnp.where(ci == 0, pslot, jax.lax.rem(ci - 1, 2))
 
-        @pl.when(ci + 1 < n_chunks)
+        @pl.when((ci >= 1) & (ci + 1 < n_chunks))
         def _():
-            chunk_dma(1 - slot, ci + 1).start()
+            chunk_dma(jax.lax.rem(ci, 2), ci + 1).start()
 
-        chunk_dma(slot, ci).wait()
+        @pl.when(ci >= 1)
+        def _():
+            chunk_dma(slot, ci).wait()
 
         lo = jnp.where(ci == 0, skip, 0)
         hi = jnp.minimum(total - ci * 128, 128)
@@ -321,8 +347,8 @@ def fine_rasterize_entries(first: jax.Array, n_entries: jax.Array,
                                lambda t, f, nn, r0: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((2, 16, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((4, 16, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     tiles = pl.pallas_call(
