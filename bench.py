@@ -59,14 +59,13 @@ def main() -> int:
         width, height, scale = 512, 512, 2.56
 
     scene = make_tiger(scale=scale)
-    # Right-sized capacities for the 4K tiger (measured: 67k hits, 39k
-    # candidates, 7.5k deltas, 45k segments); every record array is padded
-    # to these, so oversizing directly costs bandwidth.
-    cfg = RenderConfig(
+    # Record capacities fitted to the scene exactly on host (see
+    # piet_tpu/renderer/capacity.py); every record array is padded to
+    # these, so oversizing directly costs frame time.
+    from piet_tpu.renderer.capacity import fit_capacities
+    cfg = fit_capacities(scene, RenderConfig(
         width=width, height=height, tile_height=16, tile_width=128,
-        cmd_capacity=1024, max_items=512, max_points=1 << 17,
-        max_segments=1 << 16, max_hits=640 * 128, max_candidates=384 * 128,
-        max_deltas=1 << 13)
+        cmd_capacity=1024))
     renderer = Renderer(cfg)
     dev = prepare_scene(scene, cfg)
 

@@ -34,18 +34,14 @@ def _build_scene(args):
 
 def _config_for(args, scene):
     from .config import RenderConfig
+    from .renderer.capacity import fit_capacities
     import numpy as np
     w = args.width or int(np.ceil(scene.bboxes[:, 2].max() + 8))
     h = args.height or int(np.ceil(scene.bboxes[:, 3].max() + 8))
     cfg = RenderConfig(width=w, height=h)
-    # Generous default caps; SceneCapacityError messages name the knob.
-    caps = dict(max_items=1 << 14, max_points=1 << 18,
-                max_segments=1 << 18, max_hits=1 << 20,
-                max_candidates=1 << 17, max_deltas=1 << 16)
-    for k, v in caps.items():
-        if getattr(cfg, k) < v:
-            cfg = dataclasses.replace(cfg, **{k: v})
-    return cfg
+    # Record capacities fitted to the scene on host (exact counts --
+    # renderer/capacity.py); padding directly costs frame time.
+    return fit_capacities(scene, cfg, bucket=True)
 
 
 def cmd_render(args) -> int:
