@@ -283,16 +283,18 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     seg_flags = (is_fill_seg.astype(jnp.int32)
                  | (is_stroke_seg.astype(jnp.int32) << 1)
                  | (is_line_item.astype(jnp.int32) << 2))
-    seg_f32 = jnp.stack(
-        [sx, sy, ex, ey, a, b, c,
-         xmn[:, 0], xmn[:, 1], xmx[:, 0], xmx[:, 1], s_hw],
-        axis=1)                                          # (S, 12)
     seg_i32 = jnp.stack(
         [seg_flags, r_x_lo, r_y_lo, jnp.maximum(r_w, 1), seg_item,
          s_cand_excl, s_by0, jnp.maximum(s_bw, 1), s_bx0],
         axis=1)                                          # (S, 9)
-    hf = seg_f32[hit_seg]
-    hi = seg_i32[hit_seg]
+    seg_all = jnp.concatenate(
+        [jnp.stack([sx, sy, ex, ey, a, b, c, xmn[:, 0], xmn[:, 1],
+                    xmx[:, 0], xmx[:, 1], s_hw], axis=1),
+         jax.lax.bitcast_convert_type(seg_i32, f32)],
+        axis=1)                                          # (S, 21)
+    ha = seg_all[hit_seg]
+    hf = ha[:, :12]
+    hi = jax.lax.bitcast_convert_type(ha[:, 12:], jnp.int32)
     h_flags = hi[:, 0]
     h_w = hi[:, 3]
     h_ty = hi[:, 2] + hit_local // h_w
@@ -402,8 +404,9 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     del_excl, del_incl = _exclusive_cumsum(delta_counts)
     n_deltas = del_incl[-1]
     del_seg, del_local, del_valid = _expand(delta_counts, max_deltas)
-    df32 = seg_f32[del_seg]
-    di32 = seg_i32[del_seg]
+    da = seg_all[del_seg]
+    df32 = da[:, :12]
+    di32 = jax.lax.bitcast_convert_type(da[:, 12:], jnp.int32)
     d_ty = d_y_lo[del_seg] + del_local
     d_y0 = d_ty.astype(f32) * thf
     d_a, d_b, d_c = df32[:, 4], df32[:, 5], df32[:, 6]
@@ -443,13 +446,15 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         num_segments=max_candidates + 1)[:max_candidates]
     # Per-(item, row) prefix sum along tx: candidates are row-major per item,
     # so subtract the running total at each row start.
-    cand_f32_pack = jnp.concatenate(
+    cand_pack = jnp.concatenate(
         [scene.colors_lin, scene.bboxes.astype(f32),
          (f32(0.5) * scene.widths)[:, None],
-         jax.lax.bitcast_convert_type(scene.colors_u32, f32)[:, None]],
-        axis=1)                                          # (NI, 10)
-    cf = cand_f32_pack[cand_item]
-    ci = item_pack[cand_item]
+         jax.lax.bitcast_convert_type(scene.colors_u32, f32)[:, None],
+         jax.lax.bitcast_convert_type(item_pack, f32)],
+        axis=1)                                          # (NI, 19)
+    ca = cand_pack[cand_item]
+    cf = ca[:, :10]
+    ci = jax.lax.bitcast_convert_type(ca[:, 10:], jnp.int32)
     csum = jnp.cumsum(delta_scatter)
     cand_row_start = (ci[:, 3]
                       + (cand_ty - ci[:, 5]) * jnp.maximum(ci[:, 8], 1))
@@ -511,26 +516,28 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     if output == "entries":
         hit_tag0 = jnp.where(slot0_valid, slot0_tag, 0)
         hit_tag1 = jnp.where(slot1_valid, jnp.int32(CMD_FILL), 0)
+        hit_meta = (hit_n_cmds
+                    | (stroke_emit.astype(jnp.int32) << 3))
         hit_rows = jnp.concatenate(
             [hit_tag0.astype(f32)[:, None], slot0_args[:, :7],
-             hit_tag1.astype(f32)[:, None], slot1_args[:, :7]],
-            axis=1)                                      # (H, 16)
+             hit_tag1.astype(f32)[:, None], slot1_args[:, :5],
+             hit_meta.astype(f32)[:, None],
+             jnp.zeros((max_hits, 1), f32)],
+            axis=1)  # (H, 16): word 13 = bail color (cands), 14 = meta
         cand_tag0 = jnp.where(cand_cmd_valid, cand_tag, 0)
+        cand_meta = (cand_cmd_valid.astype(jnp.int32)
+                     | (is_opaque_solid.astype(jnp.int32) << 2)
+                     | (cand_is_clear.astype(jnp.int32) << 3))
         cand_rows = jnp.concatenate(
             [cand_tag0.astype(f32)[:, None], cand_args[:, :7],
              jnp.zeros((max_candidates, 5), f32),
              jax.lax.bitcast_convert_type(
                  jnp.where(is_opaque_solid, c_color_u32,
                            jnp.uint32(0)), f32)[:, None],
-             jnp.zeros((max_candidates, 2), f32)],
+             cand_meta.astype(f32)[:, None],
+             jnp.zeros((max_candidates, 1), f32)],
             axis=1)                                      # (C, 16)
         all_rows = jnp.concatenate([hit_rows, cand_rows])
-        hit_meta = (hit_n_cmds
-                    | (stroke_emit.astype(jnp.int32) << 3))
-        cand_meta = (cand_cmd_valid.astype(jnp.int32)
-                     | (is_opaque_solid.astype(jnp.int32) << 2)
-                     | (cand_is_clear.astype(jnp.int32) << 3))
-        all_meta = jnp.concatenate([hit_meta, cand_meta])
 
     # ---- global sort: ONE stable 32-bit key -----------------------------
     # key = tile * 2*(NI+1) + item * 2 + class.  Segment order within a
@@ -566,7 +573,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     e_tile = jnp.where(live, sorted_key1 // stride, n_tiles)
     if output == "entries":
         e_rows = all_rows[sorted_idx]
-        e_meta = jnp.where(live, all_meta[sorted_idx], 0)
+        e_meta = jnp.where(live, e_rows[:, 14].astype(jnp.int32), 0)
         e_ncmds = e_meta & 3
         e_is_opaque = (e_meta & 4) != 0
         # Clearing state: CmdLine clears bail (PietRender.metal:90); fill
