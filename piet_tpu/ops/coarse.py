@@ -249,10 +249,29 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
 
     fx_lo, fx_hi = _range_x_fill()
     fy_lo, fy_hi = _range_y_fill()
-    st_x_lo = jnp.floor((xmn[:, 0] - s_hw) / twf).astype(jnp.int32) - 1
-    st_x_hi = jnp.ceil((xmx[:, 0] + s_hw) / twf).astype(jnp.int32)
-    st_y_lo = jnp.floor((xmn[:, 1] - s_hw) / thf).astype(jnp.int32) - 1
-    st_y_hi = jnp.ceil((xmx[:, 1] + s_hw) / thf).astype(jnp.int32)
+    # Stroke rects: the f32 divisions can be off by an ulp at exact tile
+    # boundaries, so the floor/ceil bound alone could miss an edge tile.
+    # Instead of a blanket +-1 ring (which inflates stroke hits ~2-4x for
+    # short segments), probe the one boundary tile with the SAME f32 cull
+    # expressions the per-record test uses -- the result is exactly the
+    # set of tiles the cull can pass, still a guaranteed superset.
+    def _stroke_range(lo_v, hi_v, dim, step):
+        lo = jnp.floor(lo_v / step).astype(jnp.int32)
+        hi = jnp.ceil(hi_v / step).astype(jnp.int32) - 1
+
+        def passes(t):
+            o = t.astype(f32) * step
+            return ((xmx[:, dim] > o - s_hw)
+                    & (xmn[:, dim] < o + step + s_hw))
+
+        lo = jnp.where(passes(lo - 1), lo - 1, lo)
+        hi = jnp.where(passes(hi + 1), hi + 1, hi)
+        return lo, hi
+
+    st_x_lo, st_x_hi = _stroke_range(xmn[:, 0] - s_hw, xmx[:, 0] + s_hw,
+                                     0, twf)
+    st_y_lo, st_y_hi = _stroke_range(xmn[:, 1] - s_hw, xmx[:, 1] + s_hw,
+                                     1, thf)
 
     is_line_item = s_tag == TAG_LINE
     r_x_lo = jnp.where(is_fill_seg, fx_lo,

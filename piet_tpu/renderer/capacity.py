@@ -69,10 +69,22 @@ def count_records(scene, config: RenderConfig):
     fx_hi = np.ceil(xmx[:, 0] / twf).astype(np.int32) - 1
     fy_lo = np.floor(xmn[:, 1] / thf).astype(np.int32)
     fy_hi = np.floor(xmx[:, 1] / thf).astype(np.int32)
-    st_x_lo = np.floor((xmn[:, 0] - s_hw) / twf).astype(np.int32) - 1
-    st_x_hi = np.ceil((xmx[:, 0] + s_hw) / twf).astype(np.int32)
-    st_y_lo = np.floor((xmn[:, 1] - s_hw) / thf).astype(np.int32) - 1
-    st_y_hi = np.ceil((xmx[:, 1] + s_hw) / thf).astype(np.int32)
+    def _stroke_range(lo_v, hi_v, dim, step):
+        lo = np.floor(lo_v / step).astype(np.int32)
+        hi = np.ceil(hi_v / step).astype(np.int32) - 1
+
+        def passes(t):
+            o = t.astype(F) * step
+            return (xmx[:, dim] > o - s_hw) & (xmn[:, dim] < o + step + s_hw)
+
+        lo = np.where(passes(lo - 1), lo - 1, lo)
+        hi = np.where(passes(hi + 1), hi + 1, hi)
+        return lo, hi
+
+    st_x_lo, st_x_hi = _stroke_range(xmn[:, 0] - s_hw, xmx[:, 0] + s_hw,
+                                     0, twf)
+    st_y_lo, st_y_hi = _stroke_range(xmn[:, 1] - s_hw, xmx[:, 1] + s_hw,
+                                     1, thf)
 
     sb = (bx0[item_of_seg], by0[item_of_seg], bx1[item_of_seg],
           by1[item_of_seg])
