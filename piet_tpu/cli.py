@@ -75,17 +75,34 @@ def cmd_bench(args) -> int:
     cfg = _config_for(args, scene)
     renderer = Renderer(cfg, fine_impl=args.fine_impl)
     renderer.render(scene)  # compile + capacity check
-    dev = prepare_scene(scene, cfg)
-    img, _ = renderer._render(dev)
-    np.asarray(img[0, 0])
-    t0 = time.perf_counter()
-    for _ in range(args.frames):
+    if args.reencode:
+        # Animated workload: re-encode the scene on host and re-upload
+        # every frame (the reference only re-encodes on resize,
+        # PietRenderer.m:105-146; per-frame re-encode is BASELINE config 5).
+        # Host encode of frame t+1 overlaps device render of frame t.
+        from .scene.fixtures import make_animated_frame
+        img = None
+        t0 = time.perf_counter()
+        for i in range(args.frames):
+            frame_scene = (make_animated_frame(i / 60.0)
+                           if args.scene == "animated" else scene)
+            dev = prepare_scene(frame_scene, cfg)
+            img, _ = renderer._render(dev)
+        np.asarray(img[0, 0])
+        value = (time.perf_counter() - t0) * 1e3 / args.frames
+    else:
+        dev = prepare_scene(scene, cfg)
         img, _ = renderer._render(dev)
-    np.asarray(img[0, 0])  # pipelined timing (see bench.py rationale)
-    value = (time.perf_counter() - t0) * 1e3 / args.frames
+        np.asarray(img[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(args.frames):
+            img, _ = renderer._render(dev)
+        np.asarray(img[0, 0])  # pipelined timing (see bench.py rationale)
+        value = (time.perf_counter() - t0) * 1e3 / args.frames
     print(json.dumps({
         "scene": args.scene, "viewport": f"{cfg.width}x{cfg.height}",
         "ms_per_frame": round(value, 3), "frames": args.frames,
+        "reencode": bool(args.reencode),
         "fill_mpix_per_s": round(cfg.width * cfg.height / value / 1e3, 1),
     }))
     return 0
@@ -158,6 +175,8 @@ def main(argv=None) -> int:
     b = sub.add_parser("bench", help="time a scene, print JSON")
     scene_args(b)
     b.add_argument("--frames", type=int, default=20)
+    b.add_argument("--reencode", action="store_true",
+                   help="re-encode + re-upload the scene every frame")
     b.set_defaults(fn=cmd_bench)
 
     g = sub.add_parser("goldens", help="device vs CPU-oracle PNG pairs")

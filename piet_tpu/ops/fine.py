@@ -194,15 +194,21 @@ def fine_rasterize(counts: jax.Array, tags: jax.Array, args: jax.Array,
 # stream directly (ops/coarse.py::CoarseEntries) -- per tile, a contiguous
 # range [first, first + n) of 2-slot entries.  Removes the dense (T, CAP)
 # PTCL entirely: no coarse-side scatter, no per-tile capacity, no overflow.
-# DMA granularity is one 128-entry block (16x128 f32 = 8 KiB); a tile's
-# range starts mid-block, so the first block is fetched whole and `skip`
-# lanes are ignored (over-fetch is <= 127 entries, ~8 KiB -- noise next to
-# the removed scatters).
+# DMA granularity is a SUPERCHUNK of SC_BLOCKS 128-entry blocks: chunk-loop
+# machinery (DMA start/wait + loop-boundary state motion) costs several
+# microseconds per iteration on TPU -- far more than interpreting the
+# entries -- so the chunk must cover virtually every tile in ONE iteration.
+# A tile's range starts mid-block; the first block is fetched whole and
+# `skip` lanes are ignored (DMA time is latency-dominated, so fetching
+# 32 KiB costs the same as 8 KiB).
+
+SC_BLOCKS = 4                      # 512 entries per superchunk
+SC_ENTRIES = SC_BLOCKS * 128
 
 
-def _fine_entries_kernel(first_ref, n_ref, row0_ref, stream_hbm, out_ref,
-                         cmds_s, sems, *, tile_h: int, tile_w: int,
-                         tiles_x: int, interpret: bool):
+def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
+                         out_ref, cmds_s, sems, *, tile_h: int, tile_w: int,
+                         tiles_x: int, direct: bool, interpret: bool):
     if interpret:
         bar = jax.lax.optimization_barrier  # best-effort (see cmd_math.py)
     else:
@@ -224,33 +230,44 @@ def _fine_entries_kernel(first_ref, n_ref, row0_ref, stream_hbm, out_ref,
     base_blk = fe // 128
     skip = fe % 128
     total = skip + n
-    n_chunks = jnp.maximum(pl.cdiv(total, 128), 1)
+    n_chunks = jnp.maximum(pl.cdiv(total, SC_ENTRIES), 1)
 
     def chunk_dma(slot, ci):
+        # stream_hbm carries SC_BLOCKS zero blocks of tail padding, so the
+        # last superchunk slice never runs off the end.
         return pltpu.make_async_copy(
-            stream_hbm.at[base_blk + ci], cmds_s.at[slot], sems.at[slot])
+            stream_hbm.at[pl.ds(base_blk + ci * SC_BLOCKS, SC_BLOCKS)],
+            cmds_s.at[slot], sems.at[slot])
 
-    # Cross-tile chunk-0 prefetch: scratch persists across the sequential
-    # grid, so each tile fetches the NEXT tile's first block as soon as its
-    # own is in hand, hiding the HBM latency that otherwise serializes at
-    # every tile.  Slots 0/1 double-buffer in-tile chunks; slots 2/3
-    # alternate by tile parity for the prefetched chunk 0.
+    # Cross-tile prefetch: scratch persists across the sequential grid, so
+    # each tile fetches the NEXT tile's first superchunk as soon as its own
+    # is in hand, hiding the HBM latency that otherwise serializes at every
+    # tile.  Slots 0/1 double-buffer in-tile superchunks beyond the first;
+    # slots 2/3 alternate by tile parity for the prefetched one.
     pslot = 2 + jax.lax.rem(t, 2)
     nslot = 2 + jax.lax.rem(t + 1, 2)
+    n_tiles_total = pl.num_programs(0)
 
-    @pl.when(t == 0)
+    # Empty tiles (n == 0) skip ALL DMA machinery and write the white
+    # background constant -- bailed/background tiles are a large fraction
+    # of real scenes and the per-tile DMA wait + sRGB encode otherwise
+    # costs ~1 us each.  Semaphore pairing stays consistent because the
+    # prefetch for tile t+1 is issued (by tile t) and awaited (by tile
+    # t+1) under the SAME predicate: n_ref[t+1] > 0.
+    @pl.when((t == 0) & (n > 0))
     def _():
         chunk_dma(pslot, 0).start()
 
-    chunk_dma(pslot, 0).wait()
+    @pl.when(n > 0)
+    def _():
+        chunk_dma(pslot, 0).wait()
 
-    n_tiles_total = pl.num_programs(0)
-
-    @pl.when(t + 1 < n_tiles_total)
+    @pl.when((t + 1 < n_tiles_total) & (n_ref[t + 1] > 0))
     def _():
         fe_next = first_ref[t + 1]
-        pltpu.make_async_copy(stream_hbm.at[fe_next // 128],
-                              cmds_s.at[nslot], sems.at[nslot]).start()
+        pltpu.make_async_copy(
+            stream_hbm.at[pl.ds(fe_next // 128, SC_BLOCKS)],
+            cmds_s.at[nslot], sems.at[nslot]).start()
 
     @pl.when(n_chunks > 1)
     def _():
@@ -258,37 +275,12 @@ def _fine_entries_kernel(first_ref, n_ref, row0_ref, stream_hbm, out_ref,
 
     cmds = make_commands(X, Y, bar)
 
-    def lift(cmd, word_base):
-        def branch(slot, j, r, g, b, df, area):
+    def lift(cmd, slot, word_base):
+        def branch(blk, lane, r, g, b, df, area):
             def arg(k):
-                return cmds_s[slot, word_base + 1 + k, j]
+                return cmds_s[slot, blk, word_base + 1 + k, lane]
             return cmd(arg, r, g, b, df, area)
         return branch
-
-    def noop(slot, j, r, g, b, df, area):
-        return r, g, b, df, area
-
-    # Slot 0 can be any command; tag 0 = empty.  Branch index = tag - 1
-    # clamped (tag 1 = Cmd_End never appears in the stream).
-    slot0_branches = (noop,) + tuple(lift(c, 0) for c in cmds)
-
-    def entry_body(j, st):
-        r, g, b, df, area = st
-        slot = j // 128
-        lane = jax.lax.rem(j, 128)
-        tag0 = cmds_s[slot, 0, lane].astype(jnp.int32)
-        idx0 = jnp.clip(tag0 - 1, 0, 7)
-        st = jax.lax.switch(idx0, slot0_branches, slot, lane, r, g, b, df,
-                            area)
-        r, g, b, df, area = st
-        # Slot 1 is only ever CmdFill (tag 0 = empty).
-        tag1 = cmds_s[slot, 8, lane]
-
-        def do_fill(slot, lane, r, g, b, df, area):
-            return lift(cmds[2], 8)(slot, lane, r, g, b, df, area)
-
-        return jax.lax.cond(tag1 > 0.0, do_fill, noop, slot, lane, r, g, b,
-                            df, area)
 
     def chunk_body(ci, st):
         slot = jnp.where(ci == 0, pslot, jax.lax.rem(ci - 1, 2))
@@ -301,33 +293,72 @@ def _fine_entries_kernel(first_ref, n_ref, row0_ref, stream_hbm, out_ref,
         def _():
             chunk_dma(slot, ci).wait()
 
+        def noop(blk, lane, r, g, b, df, area):
+            return r, g, b, df, area
+
+        # Slot 0 can be any command; tag 0 = empty.  Branch index =
+        # tag - 1 clamped (tag 1 = Cmd_End never appears in the stream).
+        slot0_branches = (noop,) + tuple(lift(c, slot, 0) for c in cmds)
+        fill_branch = lift(cmds[2], slot, 8)
+
+        def entry_body(j, st):
+            r, g, b, df, area = st
+            blk = j // 128
+            lane = jax.lax.rem(j, 128)
+            tag0 = cmds_s[slot, blk, 0, lane].astype(jnp.int32)
+            idx0 = jnp.clip(tag0 - 1, 0, 7)
+            st = jax.lax.switch(idx0, slot0_branches, blk, lane, r, g, b,
+                                df, area)
+            r, g, b, df, area = st
+            # Slot 1 is only ever CmdFill (tag 0 = empty).
+            tag1 = cmds_s[slot, blk, 8, lane]
+            return jax.lax.cond(tag1 > 0.0, fill_branch, noop, blk, lane,
+                                r, g, b, df, area)
+
         lo = jnp.where(ci == 0, skip, 0)
-        hi = jnp.minimum(total - ci * 128, 128)
-        # entry_body decodes (slot, lane) from a flat index so the loop
-        # bounds stay chunk-local.
-        return jax.lax.fori_loop(slot * 128 + lo, slot * 128 + hi,
-                                 entry_body, st)
+        hi = jnp.minimum(total - ci * SC_ENTRIES, SC_ENTRIES)
+        return jax.lax.fori_loop(lo, hi, entry_body, st)
 
     shp = (tile_h, tile_w)
-    state0 = (jnp.ones(shp, jnp.float32), jnp.ones(shp, jnp.float32),
-              jnp.ones(shp, jnp.float32), jnp.full(shp, DF_INIT, jnp.float32),
-              jnp.zeros(shp, jnp.float32))
-    r, g, b, _, _ = jax.lax.fori_loop(0, n_chunks, chunk_body, state0)
 
-    out_ref[0] = pack_rgba8(r, g, b, bar)
+    def write(px):
+        if direct:
+            out_ref[...] = px
+        else:
+            out_ref[0] = px
+
+    @pl.when(n == 0)
+    def _():
+        # Empty tile: the present fast path (PietRender.metal:34-44) --
+        # the bail solid's raw sRGB bytes, or the white background.
+        sol = solid_ref[t]
+        px = jnp.where(sol == 0, jnp.uint32(0xFFFFFFFF), sol)
+        write(jnp.full(shp, px, jnp.uint32))
+
+    @pl.when(n > 0)
+    def _():
+        state0 = (jnp.ones(shp, jnp.float32), jnp.ones(shp, jnp.float32),
+                  jnp.ones(shp, jnp.float32),
+                  jnp.full(shp, DF_INIT, jnp.float32),
+                  jnp.zeros(shp, jnp.float32))
+        r, g, b, _, _ = jax.lax.fori_loop(0, n_chunks, chunk_body, state0)
+        write(pack_rgba8(r, g, b, bar))
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "tiles_x",
                                              "interpret"))
 def fine_rasterize_entries(first: jax.Array, n_entries: jax.Array,
-                           stream: jax.Array, row0=0, *, tile_h: int,
-                           tile_w: int, tiles_x: int,
+                           solid: jax.Array, stream: jax.Array, row0=0, *,
+                           tile_h: int, tile_w: int, tiles_x: int,
                            interpret: bool = False) -> jax.Array:
     """Rasterize all tiles from an entry stream (CoarseEntries).
 
     Args:
       first: (T,) int32 first live entry per tile.
       n_entries: (T,) int32 live entries per tile.
+      solid: (T,) uint32 present-format bail color bytes (0 = none); the
+        present composite (reference C11) is fused into the kernel's
+        empty-tile path.
       stream: (E/128, 16, 128) f32 packed entry blocks.
       row0: first tile row of this shard's slab (traced OK).
 
@@ -336,28 +367,48 @@ def fine_rasterize_entries(first: jax.Array, n_entries: jax.Array,
     """
     n_tiles = first.shape[0]
     tiles_y = n_tiles // tiles_x
+    # When the tile block is vreg-aligned, write framebuffer layout
+    # directly (no (T, th, tw) -> (H, W) transpose pass).
+    direct = (tile_w % 128 == 0) and (tile_h % 8 == 0)
     kernel = functools.partial(
         _fine_entries_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
-        interpret=interpret)
+        direct=direct, interpret=interpret)
+    if direct:
+        out_specs = pl.BlockSpec(
+            (tile_h, tile_w),
+            lambda t, f, nn, so, r0: (t // tiles_x, t % tiles_x),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(
+            (tiles_y * tile_h, tiles_x * tile_w), jnp.uint32)
+    else:
+        out_specs = pl.BlockSpec((1, tile_h, tile_w),
+                                 lambda t, f, nn, so, r0: (t, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w),
+                                         jnp.uint32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((1, tile_h, tile_w),
-                               lambda t, f, nn, r0: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
-            pltpu.SMEM((4, 16, 128), jnp.float32),
+            pltpu.SMEM((4, SC_BLOCKS, 16, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
+    # SC_BLOCKS zero blocks of tail padding keep the last superchunk slice
+    # in bounds for tiles whose range ends near the stream's end.
+    stream_p = jnp.concatenate(
+        [stream, jnp.zeros((SC_BLOCKS,) + stream.shape[1:], stream.dtype)])
     tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w),
-                                       jnp.uint32),
+        out_shape=out_shape,
         interpret=interpret,
-    )(first, n_entries, jnp.asarray(row0, jnp.int32).reshape(1), stream)
+    )(first, n_entries, solid,
+      jnp.asarray(row0, jnp.int32).reshape(1), stream_p)
+    if direct:
+        return tiles
     return (tiles.reshape(tiles_y, tiles_x, tile_h, tile_w)
             .transpose(0, 2, 1, 3)
             .reshape(tiles_y * tile_h, tiles_x * tile_w))

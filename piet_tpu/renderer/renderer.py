@@ -110,13 +110,22 @@ def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
         overflow_cmds = coarse.overflow.sum()
     else:
         # TPU production path: entry-stream PTCL (no scatter, no per-tile
-        # capacity -- see ops/coarse.py::CoarseEntries).
+        # capacity -- see ops/coarse.py::CoarseEntries).  The present
+        # composite is fused into the kernel's empty-tile path.
         coarse = coarse_rasterize(scene, output="entries", **base_kw)
-        fine = fine_rasterize_entries(
-            coarse.first, coarse.n_entries, coarse.stream, row0,
+        img = fine_rasterize_entries(
+            coarse.first, coarse.n_entries,
+            _solid_to_present_u32(coarse.solid), coarse.stream, row0,
             tile_h=config.tile_height, tile_w=config.tile_width,
             tiles_x=tiles_x, interpret=interpret)
-        overflow_cmds = jnp.int32(0)
+        bail2d = coarse.solid.reshape(tiles_y, tiles_x) != 0
+        stats = {
+            "max_tile_cmds": coarse.counts.max(),
+            "overflow_cmds": jnp.int32(0),
+            "bail_tiles": bail2d.sum(),
+            **coarse.diag,
+        }
+        return img, stats
     # Present composite: bailed tiles take their solid color bytes
     # (reference present fast path, PietRender.metal:34-44).
     solid2d = coarse.solid.reshape(tiles_y, tiles_x)

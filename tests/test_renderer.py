@@ -75,3 +75,16 @@ def test_hit_capacity_error():
     with pytest.raises(SceneCapacityError):
         Renderer(cfg, fine_impl="xla").render(
             make_cardioid(center=(256.0, 256.0), r=200.0))
+
+
+def test_render_entries_path_interpret():
+    """The TPU production path (entry-stream coarse + Pallas entries
+    kernel) through the interpreter, within the XLA:CPU FMA tolerance."""
+    name, make, cfg = CASES[0]
+    scene = make()
+    r = Renderer(cfg, fine_impl="pallas", interpret=True)
+    img = r.render(scene)
+    gold = cpu_render_scene(scene, cfg)
+    diff = np.abs(img.astype(np.int32) - gold.astype(np.int32))
+    assert diff.max() <= 2
+    assert (diff.max(-1) > 0).mean() < 1e-4

@@ -51,3 +51,23 @@ def test_fine_kernel_bit_exact_on_tpu():
     bail_px = np.repeat(np.repeat(solid2d != 0, cfg.tile_height, 0),
                         cfg.tile_width, 1)[:cfg.height, :cfg.width]
     np.testing.assert_array_equal(img[~bail_px], gold[~bail_px])
+
+
+def test_full_renderer_bit_exact_on_tpu():
+    """The production pipeline (entry-stream coarse + Pallas fine + fused
+    present) end to end."""
+    import numpy as np
+
+    from piet_tpu.config import RenderConfig
+    from piet_tpu.raster.cpu_fine import cpu_render_scene
+    from piet_tpu.renderer.renderer import Renderer
+    from piet_tpu.scene.svg import make_tiger
+
+    cfg = RenderConfig(width=224, height=224, tile_height=16, tile_width=128,
+                       cmd_capacity=2688, max_items=512, max_points=1 << 15,
+                       max_segments=1 << 15, max_hits=1 << 17,
+                       max_candidates=1 << 14, max_deltas=1 << 15)
+    scene = make_tiger(scale=1.0)
+    img = Renderer(cfg).render(scene)
+    gold = cpu_render_scene(scene, cfg)
+    np.testing.assert_array_equal(img, gold)
