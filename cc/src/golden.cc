@@ -279,10 +279,11 @@ void render_pixel(const std::vector<Cmd>& cmds, float X, float Y,
           const float cq = std::max(bq, 0.0f);
           const float dq = std::max(xmin, 0.0f);
           float a_cov;
-          if (xmax > xmin) {
+          if (xmax - xmin > 1e-4f) {
             a_cov = (bq + 0.5f * (dq * dq - cq * cq) - xmin) / (xmax - xmin);
           } else {
-            a_cov = 1.0f - saturate(xs0);  // degenerate-width guard, see
+            a_cov = 1.0f - saturate(xs0);  // wide degenerate-column guard
+                                           // (near-vertical edges), see
                                            // cpu_fine.py
           }
           area += a_cov * (w0 - w1);

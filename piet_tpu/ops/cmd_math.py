@@ -98,8 +98,9 @@ def make_commands(X, Y, bar):
         dq = jnp.maximum(xmin, 0.0)
         a_cov = (bq + bar(0.5 * (bar(dq * dq) - bar(cq * cq))) - xmin) \
             / (xmax - xmin)
-        # Guard for the reference's coverage-NaN fudge bug; see cpu_fine.py.
-        a_cov = jnp.where(xmax > xmin, a_cov, 1.0 - _saturate(xs0))
+        # Wide degenerate-column guard (near-vertical edges; see
+        # cpu_fine.py for the rationale and the reference's narrower bug).
+        a_cov = jnp.where(xmax - xmin > 1e-4, a_cov, 1.0 - _saturate(xs0))
         delta = bar(a_cov * (w0 - w1))
         return r, g, b, df, jnp.where(mask, area + delta, area)
 

@@ -102,13 +102,15 @@ def render_tile(tags: np.ndarray, args: np.ndarray, count: int,
                 cq = np.maximum(bq, F(0.0))
                 dq = np.maximum(xmin, F(0.0))
                 a_cov = (bq + F(0.5) * (dq * dq - cq * cq) - xmin) / (xmax - xmin)
-                # The reference's 1e-6 fudge (PietRender.metal:517-519,
-                # acknowledged "might be inadequate when xmax is large") is
-                # below one ulp for |x| > ~8, collapsing xmax - xmin to 0 and
-                # producing 0/0 = NaN, which Metal silently rescues via
-                # fmin(NaN, 1) = 1.  We substitute the exact analytic limit
-                # for a width-collapsed column: 1 - clamp(x, 0, 1).
-                a_cov = np.where(xmax > xmin, a_cov,
+                # Degenerate-column guard, WIDER than the reference's 1e-6
+                # fudge (PietRender.metal:517-519, acknowledged "might be
+                # inadequate"): near-vertical edges make the quadratic
+                # formula a ratio of two ~1e-6 cancellations, where a 1-ulp
+                # input perturbation swings coverage by O(1).  For spans
+                # below 1e-4 we substitute the analytic vertical-edge limit
+                # 1 - clamp(x, 0, 1); its error is < 5e-5 coverage
+                # (invisible at 8 bits) and it is stable.
+                a_cov = np.where(xmax - xmin > F(1e-4), a_cov,
                                  F(1.0) - _saturate(xs0))
                 delta = a_cov * (w0 - w1)
             area = np.where(mask, area + delta.astype(F), area)

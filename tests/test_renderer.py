@@ -88,3 +88,29 @@ def test_render_entries_path_interpret():
     diff = np.abs(img.astype(np.int32) - gold.astype(np.int32))
     assert diff.max() <= 2
     assert (diff.max(-1) > 0).mean() < 1e-4
+
+
+@pytest.mark.parametrize("name,make", [
+    ("beziers_small", lambda: __import__(
+        "piet_tpu.scene.fixtures", fromlist=["x"]).make_random_beziers(
+            n=150, size=384)),
+    ("glyphs_small", lambda: __import__(
+        "piet_tpu.scene.fixtures", fromlist=["x"]).make_glyph_page(
+            n_glyphs=300, size=384)),
+    ("animated_small", lambda: __import__(
+        "piet_tpu.scene.fixtures", fromlist=["x"]).make_animated_frame(
+            0.7, size=384, n=40)),
+])
+def test_render_baseline_families(name, make):
+    """Small instances of the BASELINE benchmark scene families vs the
+    CPU golden path (full-size runs are benchmarked on hardware)."""
+    scene = make()
+    from piet_tpu.renderer.capacity import fit_capacities
+    cfg = fit_capacities(
+        scene, RenderConfig(width=384, height=384, tile_height=16,
+                            tile_width=16, cmd_capacity=768))
+    img = Renderer(cfg, fine_impl="xla").render(scene)
+    gold = cpu_render_scene(scene, cfg)
+    diff = np.abs(img.astype(np.int32) - gold.astype(np.int32))
+    assert diff.max() <= 2, f"maxdiff {diff.max()}"
+    assert (diff.max(-1) > 0).mean() < 1e-4

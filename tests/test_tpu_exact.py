@@ -68,6 +68,7 @@ def test_full_renderer_bit_exact_on_tpu():
                        max_segments=1 << 15, max_hits=1 << 17,
                        max_candidates=1 << 14, max_deltas=1 << 15)
     scene = make_tiger(scale=1.0)
-    img = Renderer(cfg).render(scene)
+    with jax.default_device(jax.devices("tpu")[0]):
+        img = Renderer(cfg, fine_impl="pallas").render(scene)
     gold = cpu_render_scene(scene, cfg)
     np.testing.assert_array_equal(img, gold)
