@@ -122,15 +122,16 @@ def cmd_goldens(args) -> int:
     from .utils.png import write_png
 
     os.makedirs(args.outdir, exist_ok=True)
+    # 512^2: the scalar CPU oracle is O(tiles x items) in Python; this
+    # keeps a full golden sweep under a minute.
     names = ["path_test", "cardioid", "circles_rects", "glyph_page"]
     worst = 0
     for name in names:
         scene = get_scene(name)
-        cfg = RenderConfig(width=1024, height=1024, tile_height=16,
-                           tile_width=128, max_items=1 << 12,
-                           max_points=1 << 17, max_segments=1 << 17,
-                           max_hits=1 << 19, max_candidates=1 << 16,
-                           max_deltas=1 << 14)
+        from .renderer.capacity import fit_capacities
+        cfg = fit_capacities(
+            scene, RenderConfig(width=512, height=512, tile_height=16,
+                                tile_width=128), bucket=True)
         img = Renderer(cfg, fine_impl=args.fine_impl).render(scene)
         gold = cpu_render_scene(scene, cfg)
         diff = int(np.abs(img.astype(int) - gold.astype(int)).max())

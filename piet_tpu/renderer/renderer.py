@@ -182,6 +182,17 @@ class Renderer:
                                       fine_impl=fine_impl)
         self.last_stats: Optional[Dict] = None
 
+    @classmethod
+    def for_scene(cls, scene, width: int, height: int,
+                  fine_impl: str = "auto", bucket: bool = True,
+                  **config_kw) -> "Renderer":
+        """Renderer with record capacities fitted to ``scene`` (see
+        renderer/capacity.py; bucket=True leaves headroom for animation)."""
+        from .capacity import fit_capacities
+        base = RenderConfig(width=width, height=height, **config_kw)
+        return cls(fit_capacities(scene, base, bucket=bucket),
+                   fine_impl=fine_impl)
+
     def render_u32(self, scene: Scene) -> jax.Array:
         dev = prepare_scene(scene, self.config)
         img, stats = self._render(dev)
