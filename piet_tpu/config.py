@@ -21,7 +21,6 @@ TPU-first choices vs the reference:
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 
 def _round_up(x: int, m: int) -> int:

@@ -24,7 +24,7 @@ variant `flatten_cubics_batch` flattens many cubics at once for large scenes.
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

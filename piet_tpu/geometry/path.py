@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Iterable, List, Sequence, Tuple
+from typing import Iterable, List, Tuple
 
 Point = Tuple[float, float]
 

@@ -16,7 +16,7 @@ scalars i8/u8/i16/u16/i32/u32/f32, fixed vectors [T; N] (N <= 4), `Ref<T>`
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Tuple, Union
 
 SCALAR_SIZES = {
     "u8": 1, "i8": 1, "u16": 2, "i16": 2, "u32": 4, "i32": 4, "f32": 4,

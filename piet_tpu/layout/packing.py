@@ -11,7 +11,7 @@ offset (lib.rs:651-654, doc comment :3-5).
 
 from __future__ import annotations
 
-from typing import Dict, List, Union
+from typing import Dict, List
 
 from .dsl import Enum, Field, Module, Ref, Scalar, Struct, StructRef, Vector
 

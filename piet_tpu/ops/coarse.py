@@ -41,7 +41,6 @@ tests/test_coarse.py.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax

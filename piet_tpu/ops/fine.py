@@ -34,7 +34,6 @@ documented <=2-code tolerance (tests/test_fine.py).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

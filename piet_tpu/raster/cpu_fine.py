@@ -21,8 +21,6 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 from ..config import RenderConfig

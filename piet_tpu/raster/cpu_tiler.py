@@ -28,7 +28,7 @@ hard-codes 16x16; our TPU default is 16x128 -- see config.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -32,7 +32,7 @@ PietRender.metal:503,541,548):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

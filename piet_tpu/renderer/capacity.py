@@ -15,12 +15,11 @@ across animated scenes, SURVEY.md section 7 "hard parts" item 6).
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import numpy as np
 
 from ..config import RenderConfig
-from ..scene.scene import TAG_CIRCLE, TAG_FILL, TAG_LINE, TAG_POLY
+from ..scene.scene import TAG_FILL, TAG_LINE, TAG_POLY
 
 F = np.float32
 

@@ -14,16 +14,14 @@ fine image and per-tile bail colors.
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import RenderConfig
-from ..ops.coarse import CoarseOutput, DeviceScene, coarse_rasterize
+from ..ops.coarse import DeviceScene, coarse_rasterize
 from ..ops.fine import fine_rasterize, fine_rasterize_entries
 from ..ops.fine_xla import fine_rasterize_xla
 from ..scene.color import decode_color_linear

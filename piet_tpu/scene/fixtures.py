@@ -9,12 +9,10 @@ Beziers, glyph page, animated scenes).
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import numpy as np
 
 from ..config import TOLERANCE
-from ..geometry import Affine, BezPath, flatten_path
+from ..geometry import BezPath, flatten_path
 from .scene import Scene, SceneBuilder
 
 

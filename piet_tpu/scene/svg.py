@@ -16,8 +16,6 @@ import os
 
 import numpy as np
 import xml.etree.ElementTree as ET
-from typing import List, Optional, Tuple
-
 from ..config import TIGER_SCALE, TOLERANCE
 from ..geometry import Affine, flatten_path, parse_svg_path
 from .color import parse_color

@@ -25,8 +25,6 @@ in-memory byte order is R,G,B,A.
 from __future__ import annotations
 
 import struct
-from typing import List, Tuple
-
 import numpy as np
 
 from .scene import (Scene, SceneBuilder, TAG_CIRCLE, TAG_FILL, TAG_LINE,
