@@ -64,7 +64,7 @@ def main() -> int:
     # these, so oversizing directly costs frame time.
     from piet_tpu.renderer.capacity import fit_capacities
     cfg = fit_capacities(scene, RenderConfig(
-        width=width, height=height, tile_height=16, tile_width=128,
+        width=width, height=height, tile_height=32, tile_width=128,
         cmd_capacity=1024))
     renderer = Renderer(cfg)
     dev = prepare_scene(scene, cfg)

@@ -8,10 +8,14 @@ driven by data instead of recompiles.
 TPU-first choices vs the reference:
 
 * The reference uses 16x16-pixel tiles because that is the natural Metal
-  threadgroup shape.  On TPU the natural fine-raster block is a VPU register
-  tile: 8 sublanes x 128 lanes.  We therefore default to **16x128-pixel
-  tiles** (two f32 vregs per per-pixel state array) -- the binning/coverage
-  algorithm is tile-size-parametric, so this is a pure layout decision.
+  threadgroup shape.  On TPU the natural fine-raster block is a multiple of
+  the VPU register tile (8 sublanes x 128 lanes).  The default is
+  **32x128-pixel tiles**: measured on hardware, taller tiles more than pay
+  for their extra per-command vector work by shrinking the record counts
+  (fewer (segment, tile) crossings) and the per-tile interpreter overhead
+  -- 4K tiger: 18.8 ms at 16x128 vs 14.0 ms at 32x128 (8x128 and 64x128
+  are slower).  The binning/coverage algorithm is tile-size-parametric,
+  so any power-of-two geometry works (16x16 reproduces the reference).
 * PTCL capacity is an explicit array dimension (``cmd_capacity``) instead of
   a byte budget; overflow is *detected and reported* (the reference's 4096-
   byte cap silently corrupts -- PietShaderTypes.h:24-27 "for production we'd
@@ -40,9 +44,9 @@ class RenderConfig:
     height: int = 1024
 
     # Fine-raster tile size in pixels (reference: 16x16 via
-    # PietShaderTypes.h:17-18). TPU default: 16 rows x 128 cols so per-pixel
-    # state arrays are exactly (16, 128) f32 = 2 vregs.
-    tile_height: int = 16
+    # PietShaderTypes.h:17-18). TPU default: 32 rows x 128 cols (see module
+    # docstring for the measured rationale).
+    tile_height: int = 32
     tile_width: int = 128
 
     # Max commands per tile PTCL (reference: 4096 B / 24 B = 170 cmds,

@@ -81,6 +81,12 @@ CASES = [
           cmd_capacity=2688, max_items=512, max_points=1 << 15,
           max_segments=1 << 15, max_hits=1 << 17, max_candidates=1 << 14,
           max_deltas=1 << 15)),
+    # Taller tiles (32x128): fewer tiles/records, more pixels per command.
+    ("tiger_1x_tall_tiles", lambda: make_tiger(scale=1.0),
+     dict(width=224, height=224, tile_height=32, tile_width=128,
+          cmd_capacity=4096, max_items=512, max_points=1 << 15,
+          max_segments=1 << 15, max_hits=1 << 17, max_candidates=1 << 14,
+          max_deltas=1 << 15)),
 ]
 
 
