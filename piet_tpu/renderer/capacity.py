@@ -105,7 +105,25 @@ def count_records(scene, config: RenderConfig):
                         tiles_y - 1)
     n_deltas = int(np.where(is_fill & (a != 0),
                             np.maximum(d_y_hi - d_y_lo + 1, 0), 0).sum())
-    return n_segs, n_hits, n_cand, n_deltas
+
+    # Per-tile command upper bound (<= 2 commands per hit record + 1 per
+    # candidate) via 2-D difference arrays -- sizes the dense path's
+    # cmd_capacity without enumerating records.
+    def rect_hist(xl, xh, yl, yh, w):
+        keep = (xh >= xl) & (yh >= yl) & (w > 0)
+        xl, xh, yl, yh = xl[keep], xh[keep], yl[keep], yh[keep]
+        wk = np.broadcast_to(w, keep.shape)[keep] if np.ndim(w) else             np.full(keep.sum(), w, np.int64)
+        D = np.zeros((tiles_y + 1, tiles_x + 1), np.int64)
+        np.add.at(D, (yl, xl), wk)
+        np.add.at(D, (yl, xh + 1), -wk)
+        np.add.at(D, (yh + 1, xl), -wk)
+        np.add.at(D, (yh + 1, xh + 1), wk)
+        return D.cumsum(0).cumsum(1)[:tiles_y, :tiles_x]
+
+    hist = (2 * rect_hist(r_x_lo, r_x_hi, r_y_lo, r_y_hi, 1)
+            + rect_hist(bx0, bx1, by0, by1, 1))
+    max_tile_cmds_ub = int(hist.max()) if hist.size else 0
+    return n_segs, n_hits, n_cand, n_deltas, max_tile_cmds_ub
 
 
 def _round_cap(n: int, bucket: bool) -> int:
@@ -122,8 +140,12 @@ def _round_cap(n: int, bucket: bool) -> int:
 def fit_capacities(scene, config: RenderConfig,
                    bucket: bool = False) -> RenderConfig:
     """Return a config whose record capacities fit ``scene`` exactly
-    (bucket=False) or with bucketed headroom for animated workloads."""
-    n_segs, n_hits, n_cand, n_deltas = count_records(scene, config)
+    (bucket=False) or with bucketed headroom for animated workloads.
+
+    Also sizes ``cmd_capacity`` (used by the dense/portable path; the
+    entry-stream path has no per-tile capacity) from a per-tile command
+    upper bound."""
+    n_segs, n_hits, n_cand, n_deltas, cmds_ub = count_records(scene, config)
     return dataclasses.replace(
         config,
         max_items=_round_cap(scene.n_items, bucket),
@@ -131,4 +153,5 @@ def fit_capacities(scene, config: RenderConfig,
         max_segments=_round_cap(n_segs, bucket),
         max_hits=_round_cap(n_hits, bucket),
         max_candidates=_round_cap(n_cand, bucket),
-        max_deltas=_round_cap(n_deltas, bucket))
+        max_deltas=_round_cap(n_deltas, bucket),
+        cmd_capacity=_round_cap(cmds_ub, bucket))

@@ -1,6 +1,7 @@
 """Capacity fitting: host-side record counts must match the device's
 diagnostics exactly (same f32 count arithmetic as ops/coarse.py)."""
 
+import numpy as np
 import pytest
 
 from piet_tpu.config import RenderConfig
@@ -29,7 +30,7 @@ def test_counts_match_device_diag(name, make, wh):
                         max_items=1 << 10, max_points=1 << 15,
                         max_segments=1 << 15, max_hits=1 << 18,
                         max_candidates=1 << 15, max_deltas=1 << 14)
-    n_segs, n_hits, n_cand, n_deltas = count_records(scene, base)
+    n_segs, n_hits, n_cand, n_deltas, cmds_ub = count_records(scene, base)
     dev = prepare_scene(scene, base)
     out = coarse_rasterize(
         dev, tiles_x=base.tiles_x, tiles_y=base.tiles_y,
@@ -41,6 +42,7 @@ def test_counts_match_device_diag(name, make, wh):
     assert int(out.diag["n_hits"]) == n_hits
     assert int(out.diag["n_candidates"]) == n_cand
     assert int(out.diag["n_deltas"]) == n_deltas
+    assert cmds_ub >= int(np.asarray(out.counts).max())
 
 
 def test_fitted_render_matches(tmp_path):

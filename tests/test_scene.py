@@ -165,3 +165,22 @@ class TestFixtures:
         # All geometry within the 8x-scaled 200x200 viewBox (plus stroke
         # inflation slop).
         assert s.points.min() > -50 and s.points.max() < 1700
+
+
+def test_layout_describe_matches_reference_constants():
+    """The Python layout descriptors (layout/emit_py.py) must agree with
+    the reference's generated sizes and tag values (GenTypes.h:322-328,
+    440-495) -- the same single-source-of-truth role the proc-macro played.
+    """
+    from piet_tpu.layout import describe
+    from piet_tpu.layout.modules import ptcl_module, scene_module
+
+    scene = describe(scene_module())
+    assert scene["structs"]["SimpleGroup"]["size"] == 16
+    assert scene["enums"]["PietItem"]["size"] == 32
+    assert scene["enums"]["PietItem"]["tags"] == {
+        "Circle": 1, "Line": 2, "Fill": 3, "Poly": 4}
+    ptcl = describe(ptcl_module())
+    assert ptcl["enums"]["Cmd"]["tags"] == {
+        "End": 1, "Circle": 2, "Line": 3, "Fill": 4, "Stroke": 5,
+        "FillEdge": 6, "DrawFill": 7, "Solid": 8, "Bail": 9}
