@@ -100,3 +100,58 @@ def test_fuzz_device_vs_oracle(seed):
     diff = np.abs(img.astype(np.int32) - gimg.astype(np.int32))
     assert diff.max() <= 2, f"seed {seed}: maxdiff {diff.max()}"
     assert (diff.max(-1) > 0).mean() < 1e-3, f"seed {seed}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_tall_tiles(seed):
+    """Same property at the production 32x128 tile geometry."""
+    scene = random_scene(100 + seed)
+    cfg = fit_capacities(
+        scene, RenderConfig(width=SIZE, height=SIZE, tile_height=32,
+                            tile_width=128))
+    img = Renderer(cfg, fine_impl="xla").render(scene)
+    gimg = cpu_render_scene(scene, cfg)
+    diff = np.abs(img.astype(np.int32) - gimg.astype(np.int32))
+    assert diff.max() <= 2, f"seed {seed}: maxdiff {diff.max()}"
+
+
+def test_degenerate_items():
+    """Deterministic degenerate shapes: zero-width/zero-length strokes,
+    zero-radius circles, sub-minimal fills, fully offscreen items."""
+    b = SceneBuilder()
+    b.begin_group()
+    b.circle(50.0, 50.0, 0.0)                      # zero radius
+    b.stroke_line((80.0, 80.0), (80.0, 80.0), 0.0, 0x112233FF)  # point, w=0
+    b.stroke_line((10.0, 90.0), (90.0, 90.0), 0.0, 0x00FF00FF)  # zero width
+    b.fill([(20.0, 20.0), (40.0, 20.0)], 0xFF0000FF)            # 2-pt fill
+    b.fill([(30.0, 30.0), (30.0, 60.0), (30.0, 60.0)], 0x0000FFFF)  # zero area
+    b.circle(-500.0, -500.0, 10.0)                 # fully offscreen
+    b.polyline([(200.0, 10.0), (200.0, 120.0)], 0xAA00AAFF, 3.0)
+    b.end_group()
+    scene = b.build()
+    cfg = fit_capacities(
+        scene, RenderConfig(width=256, height=128, tile_height=16,
+                            tile_width=16))
+    img = Renderer(cfg, fine_impl="xla").render(scene)
+    gimg = cpu_render_scene(scene, cfg)
+    diff = np.abs(img.astype(np.int32) - gimg.astype(np.int32))
+    assert diff.max() <= 2
+
+
+def test_fuzz_sharded():
+    """One fuzz scene through the row-sharded multi-chip path."""
+    import jax
+
+    from piet_tpu.parallel import ShardedRenderer
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("need 8 virtual cpu devices")
+    mesh = jax.sharding.Mesh(np.array(devs[:8]), ("y",))
+    scene = random_scene(7)
+    cfg = fit_capacities(
+        scene, RenderConfig(width=SIZE, height=SIZE, tile_height=16,
+                            tile_width=16))
+    img = ShardedRenderer(cfg, mesh, fine_impl="xla").render(scene)
+    gimg = cpu_render_scene(scene, cfg)
+    diff = np.abs(img.astype(np.int32) - gimg.astype(np.int32))
+    assert diff.max() <= 2
