@@ -27,10 +27,14 @@ sort (SURVEY.md section 7, translation decision 4):
   7. bail analysis       -- per-tile last-opaque-solid / last-clearing-draw
                             positions reproduce the TileEncoder cursor-reset
                             optimization (PietRender.metal:127-151) without
-                            rewriting a stream
-  8. scatter             -- dense (T, CAP) tag/arg arrays + counts + solid +
-                            overflow (overflow *detected*, unlike the
-                            reference's silent 4096-byte cap)
+                            rewriting a stream (one fused segment_max)
+  8. output              -- production: the ENTRY STREAM (CoarseEntries):
+                            the sorted records themselves plus per-tile
+                            index ranges, no scatter and no per-tile
+                            capacity at all; portable/test path: dense
+                            (T, CAP) arrays with counts/solid/overflow
+                            (overflow *detected*, unlike the reference's
+                            silent 4096-byte cap)
 
 Exactness: every geometric test is evaluated in f32 with the same expressions
 as the CPU golden tiler, and expansion rectangles are exact supersets
@@ -73,9 +77,10 @@ class CoarseEntries(NamedTuple):
     with per-tile index ranges -- no per-tile capacity, no scatter.
 
     ``stream`` packs entries 128 per block for the fine kernel's DMA:
-    entry e lives at block e // 128, lane e % 128; sublanes are the 16
-    words [slot0 tag, slot0 args 0-6, slot1 tag, slot1 args 0-6] (slot0 =
-    FillEdge|Line|tail command, slot1 = Fill; tag 0 = empty slot).
+    entry e lives at block e // 128, lane e % 128; the 16 word sublanes are
+    [slot0 tag, slot0 args 0-6, slot1 tag, slot1 args 0-4, bail color
+    (candidates), meta, pad] (slot0 = FillEdge|Line|tail command, slot1 =
+    Fill; tag 0 = empty slot).
     """
     stream: jax.Array       # (E/128, 16, 128) f32
     first: jax.Array        # (T,) int32 first live entry (post bail-reset)

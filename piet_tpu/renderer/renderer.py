@@ -8,8 +8,9 @@ device arrays and runs coarse binning + fine rasterization + solid-tile
 composite inside a SINGLE ``jax.jit`` step -- XLA sees the whole frame.
 
 The present pass (reference C11: point sprites painting fully-solid tiles,
-PietRender.metal:16-44) degenerates to a ``jnp.where`` composite between the
-fine image and per-tile bail colors.
+PietRender.metal:16-44) is fused into the fine kernel's empty-tile path on
+the TPU production route, and degenerates to a ``jnp.where`` composite on
+the portable XLA route.
 """
 
 from __future__ import annotations
