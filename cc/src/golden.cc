@@ -294,7 +294,13 @@ void render_pixel(const std::vector<Cmd>& cmds, float X, float Y,
         area += c.a[0] * saturate(Y - c.a[1] + 1.0f);
         break;
       case piet::Cmd_DrawFill: {
-        const float alpha = std::min(std::fabs(area + c.a[0]), 1.0f);
+        const float x = area + c.a[0];
+        // a[5] selects the fill rule: 0 = nonzero winding, 1 = even-odd
+        // (piet FillRule::EvenOdd extension; see piet_tpu/scene/scene.py).
+        const float alpha =
+            c.a[5] != 0.0f
+                ? std::fabs(x - 2.0f * std::nearbyintf(0.5f * x))
+                : std::min(std::fabs(x), 1.0f);
         const float w = c.a[4] * alpha;
         for (int k = 0; k < 3; ++k) rgb[k] = rgb[k] + (c.a[1 + k] - rgb[k]) * w;
         area = 0.0f;

@@ -111,7 +111,14 @@ def make_commands(X, Y, bar):
     def cmd_draw_fill(arg, r, g, b, df, area):
         backdrop = arg(0)
         fr, fg, fb, fa = arg(1), arg(2), arg(3), arg(4)
-        alpha = jnp.minimum(jnp.abs(area + backdrop), 1.0)  # nonzero winding
+        x = area + backdrop
+        # word 5 selects the fill rule: 0 = nonzero winding (reference
+        # behavior), 1 = even-odd (piet FillRule::EvenOdd; the reference
+        # has only the comment formula, PietRender.metal:543).  2*round(x/2)
+        # is exact in f32, so the even-odd branch is FMA-immune.
+        eo = jnp.abs(x - 2.0 * jnp.round(0.5 * x))
+        nz = jnp.minimum(jnp.abs(x), 1.0)
+        alpha = jnp.where(arg(5) != 0.0, eo, nz)
         w = bar(fa * alpha)
         r, g, b = _blend(r, g, b, fr, fg, fb, w)
         return r, g, b, df, jnp.zeros_like(area)

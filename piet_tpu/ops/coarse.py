@@ -69,6 +69,7 @@ class DeviceScene(NamedTuple):
     pt_offset: jax.Array   # (NI,) int32
     n_pts: jax.Array       # (NI,) int32
     points: jax.Array      # (NP, 2) f32
+    flags: jax.Array       # (NI,) uint32; bit 0 = even-odd fill rule
     n_items: jax.Array     # () int32
 
 
@@ -473,11 +474,12 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         [scene.colors_lin, scene.bboxes.astype(f32),
          (f32(0.5) * scene.widths)[:, None],
          jax.lax.bitcast_convert_type(scene.colors_u32, f32)[:, None],
+         (scene.flags & 1).astype(f32)[:, None],         # even-odd rule
          jax.lax.bitcast_convert_type(item_pack, f32)],
-        axis=1)                                          # (NI, 19)
+        axis=1)                                          # (NI, 20)
     ca = cand_pack[cand_item]
-    cf = ca[:, :10]
-    ci = jax.lax.bitcast_convert_type(ca[:, 10:], jnp.int32)
+    cf = ca[:, :11]
+    ci = jax.lax.bitcast_convert_type(ca[:, 11:], jnp.int32)
     csum = jnp.cumsum(delta_scatter)
     cand_row_start = (ci[:, 3]
                       + (cand_ty - ci[:, 5]) * jnp.maximum(ci[:, 8], 1))
@@ -519,11 +521,15 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     a3 = jnp.where(is_circle, cbb[:, 3],
                    jnp.where(is_solid, c_color_lin[:, 3], c_color_lin[:, 2]))
     a4 = jnp.where(is_solid | is_circle, 0.0, c_color_lin[:, 3])
+    # DrawFill word 5: even-odd fill-rule flag (0/1) -- API extension, see
+    # scene/scene.py::FLAG_EVEN_ODD.
+    a5 = jnp.where(is_drawfill, cf[:, 10], 0.0)
     cand_args = cand_args.at[:, 0].set(a0)
     cand_args = cand_args.at[:, 1].set(a1)
     cand_args = cand_args.at[:, 2].set(a2)
     cand_args = cand_args.at[:, 3].set(a3)
     cand_args = cand_args.at[:, 4].set(a4)
+    cand_args = cand_args.at[:, 5].set(a5)
 
     is_opaque_solid = is_solid & ((c_color_u32 & 0xFF) == 0xFF)
     # Clearing commands (reset the bail state): Circle, Line, Stroke,

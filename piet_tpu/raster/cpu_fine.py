@@ -118,7 +118,14 @@ def render_tile(tags: np.ndarray, args: np.ndarray, count: int,
         elif tag == CMD_DRAW_FILL:
             backdrop = F(av[0])
             fg = av[1:5].astype(F)
-            alpha = np.minimum(np.abs(area + backdrop), F(1.0))  # nonzero winding
+            x = area + backdrop
+            if av[5] != 0:
+                # even-odd fill rule (piet FillRule::EvenOdd; the reference
+                # carries only this comment formula, PietRender.metal:543).
+                # 2*round(x/2) is exact in f32, so this is FMA-immune.
+                alpha = np.abs(x - F(2.0) * np.round(F(0.5) * x))
+            else:
+                alpha = np.minimum(np.abs(x), F(1.0))  # nonzero winding
             w = (fg[3] * alpha)[..., None]
             rgb = rgb + (fg[None, None, :3] - rgb) * w
             area = np.zeros_like(area)

@@ -68,6 +68,7 @@ def _segments(points: np.ndarray, wrap: bool) -> _ItemSegs:
 
 
 def _fill_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int,
+               even_odd: bool,
                x0: F, y0: F, tw: F, th: F) -> None:
     """Reference fill logic (PietRender.metal:248-364) for one (item, tile)."""
     s = seg
@@ -119,7 +120,7 @@ def _fill_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int,
             any_fill = True
 
     if any_fill:
-        enc.draw_fill(int(backdrop), color)
+        enc.draw_fill(int(backdrop), color, even_odd=even_odd)
     elif backdrop != F(0.0):
         enc.solid(color)
 
@@ -196,7 +197,8 @@ def cpu_tile_scene(scene: Scene, config: RenderConfig) -> Ptcl:
                 elif tag == TAG_LINE:
                     _line_tile(enc, segs[i], color, width, x0, y0, tw, th)
                 elif tag == TAG_FILL:
-                    _fill_tile(enc, segs[i], color, x0, y0, tw, th)
+                    _fill_tile(enc, segs[i], color,
+                               bool(scene.flags[i] & 1), x0, y0, tw, th)
                 elif tag == TAG_POLY:
                     _poly_tile(enc, segs[i], color, width, x0, y0, tw, th)
             encoders.append(enc)

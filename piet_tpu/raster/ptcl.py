@@ -25,7 +25,7 @@ PietRender.metal:503,541,548):
   Fill     [x0, y0, x1, y1]
   Stroke   [halfWidth, r, g, b, a]
   FillEdge [sign, y]
-  DrawFill [backdrop, r, g, b, a]
+  DrawFill [backdrop, r, g, b, a, even_odd]
   Solid    [r, g, b, a]
 """
 
@@ -127,9 +127,11 @@ class TileCmdEncoder:
     def fill_edge(self, sign: float, y: float) -> None:
         self._push(CMD_FILL_EDGE, [float(sign), float(y)])
 
-    def draw_fill(self, backdrop: int, rgba: int) -> None:
+    def draw_fill(self, backdrop: int, rgba: int,
+                  even_odd: bool = False) -> None:
         self.solid_color = 0
-        self._push(CMD_DRAW_FILL, [float(backdrop)] + self._rgba_linear(rgba))
+        self._push(CMD_DRAW_FILL, [float(backdrop)] + self._rgba_linear(rgba)
+                   + [1.0 if even_odd else 0.0])
 
     def solid(self, rgba: int) -> None:
         if (rgba & 0xFF) == 0xFF:  # opaque (logical alpha is the low byte)

@@ -62,6 +62,7 @@ def prepare_scene(scene: Scene, config: RenderConfig) -> DeviceScene:
         pt_offset=jnp.asarray(pad(scene.pt_offset, config.max_items)),
         n_pts=jnp.asarray(pad(scene.n_pts, config.max_items)),
         points=jnp.asarray(pad(scene.points, config.max_points)),
+        flags=jnp.asarray(pad(scene.flags, config.max_items)),
         n_items=jnp.int32(ni),
     )
 

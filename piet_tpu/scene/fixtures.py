@@ -168,12 +168,32 @@ def make_animated_frame(t: float, size: int = 1024, n: int = 200,
     return b.build()
 
 
+def make_star_evenodd(size: int = 256) -> Scene:
+    """A five-pointed star rendered twice: nonzero winding (solid) and
+    even-odd (hollow center pentagon) -- piet FillRule demo."""
+    import math as _m
+    b = SceneBuilder()
+    b.begin_group(2)
+    for k, (cx, even_odd) in enumerate(((size * 0.28, False),
+                                        (size * 0.72, True))):
+        cy, r = size * 0.5, size * 0.22
+        pts = []
+        for i in range(5):
+            th = -_m.pi / 2 + i * 4 * _m.pi / 5   # connect every 2nd vertex
+            pts.append((cx + r * _m.cos(th), cy + r * _m.sin(th)))
+        b.fill(pts, 0xCC2200FF if k == 0 else 0x0033CCFF,
+               even_odd=even_odd)
+    b.end_group()
+    return b.build()
+
+
 SCENES = {
     "path_test": make_path_test,
     "cardioid": make_cardioid,
     "circles_rects": make_circles_rects,
     "beziers_10k": make_random_beziers,
     "glyph_page": make_glyph_page,
+    "star_evenodd": make_star_evenodd,
 }
 
 

@@ -34,6 +34,10 @@ TAG_POLY = 4
 from ..config import THIN_LINE
 
 
+#: Scene item flag bits (extensions beyond the reference wire format).
+FLAG_EVEN_ODD = 1
+
+
 def quantize_bbox(x0: float, y0: float, x1: float, y1: float
                   ) -> Tuple[int, int, int, int]:
     """u16 bbox quantization, identical to ShortBbox::from_rect."""
@@ -60,6 +64,11 @@ class Scene:
     pt_offset: np.ndarray   # int32 index into points
     n_pts: np.ndarray       # int32
     points: np.ndarray      # (M, 2) float32
+    #: per-item flag bits; bit 0 = even-odd fill rule (an extension beyond
+    #: the reference, which carries even-odd only as a comment formula,
+    #: PietRender.metal:543; piet's FillRule has both).  Not part of the
+    #: reference wire format (scene/wire.py serializes without it).
+    flags: np.ndarray = None  # (N,) uint32
 
     @property
     def n_items(self) -> int:
@@ -76,19 +85,26 @@ class Scene:
         np.savez_compressed(
             path, tags=self.tags, colors=self.colors, widths=self.widths,
             bboxes=self.bboxes, pt_offset=self.pt_offset, n_pts=self.n_pts,
-            points=self.points)
+            points=self.points, flags=self.flags)
 
     @classmethod
     def load(cls, path: str) -> "Scene":
         z = np.load(path)
         scene = cls(tags=z["tags"], colors=z["colors"], widths=z["widths"],
                     bboxes=z["bboxes"], pt_offset=z["pt_offset"],
-                    n_pts=z["n_pts"], points=z["points"])
+                    n_pts=z["n_pts"], points=z["points"],
+                    flags=z["flags"] if "flags" in z else None)
         scene.validate()
         return scene
 
+    def __post_init__(self):
+        if self.flags is None:
+            object.__setattr__(self, "flags",
+                               np.zeros(self.tags.shape[0], np.uint32))
+
     def validate(self) -> None:
         n = self.n_items
+        assert self.flags.shape == (n,)
         assert self.colors.shape == (n,)
         assert self.widths.shape == (n,)
         assert self.bboxes.shape == (n, 4)
@@ -116,6 +132,7 @@ class SceneBuilder:
         self._pt_offset: List[int] = []
         self._n_pts: List[int] = []
         self._points: List[Tuple[float, float]] = []
+        self._flags: List[int] = []
         self._declared: int = -1
 
     # -- group API (parity with src/lib.rs:132-149) ---------------------
@@ -139,13 +156,14 @@ class SceneBuilder:
         return off, (min(xs), min(ys), max(xs), max(ys))
 
     def _add_item(self, tag: int, color: int, width: float,
-                  off: int, n: int, bbox) -> None:
+                  off: int, n: int, bbox, flags: int = 0) -> None:
         self._tags.append(tag)
         self._colors.append(color & 0xFFFFFFFF)
         self._widths.append(float(width))
         self._bboxes.append(quantize_bbox(*bbox))
         self._pt_offset.append(off)
         self._n_pts.append(n)
+        self._flags.append(flags & 0xFFFFFFFF)
 
     def circle(self, cx: float, cy: float, r: float) -> None:
         """Encode a circle (bbox only, like src/lib.rs:167-174)."""
@@ -160,10 +178,15 @@ class SceneBuilder:
         self._add_item(TAG_LINE, rgba, width, off, 2,
                        (x0 - hw, y0 - hw, x1 + hw, y1 + hw))
 
-    def fill(self, points: Sequence[Tuple[float, float]], rgba: int) -> None:
-        """Filled polygon, implicit closure (src/lib.rs:195-207)."""
+    def fill(self, points: Sequence[Tuple[float, float]], rgba: int,
+             even_odd: bool = False) -> None:
+        """Filled polygon, implicit closure (src/lib.rs:195-207).
+
+        ``even_odd`` selects piet's even-odd fill rule (default nonzero
+        winding, as the reference renders)."""
         off, bbox = self._add_points(points)
-        self._add_item(TAG_FILL, rgba, 0.0, off, len(points), bbox)
+        self._add_item(TAG_FILL, rgba, 0.0, off, len(points), bbox,
+                       flags=FLAG_EVEN_ODD if even_odd else 0)
 
     def polyline(self, points: Sequence[Tuple[float, float]], rgba: int,
                  width: float) -> None:
@@ -192,10 +215,10 @@ class SceneBuilder:
             self.polyline(sp, rgba, width)
 
     def fill_path(self, subpaths: Sequence[Sequence[Tuple[float, float]]],
-                  rgba: int) -> None:
+                  rgba: int, even_odd: bool = False) -> None:
         """Fill flattened subpaths, one Fill item each (src/lib.rs:342-347)."""
         for sp in subpaths:
-            self.fill(sp, rgba)
+            self.fill(sp, rgba, even_odd=even_odd)
 
     def build(self) -> Scene:
         n = len(self._tags)
@@ -207,6 +230,7 @@ class SceneBuilder:
             pt_offset=np.asarray(self._pt_offset, np.int32),
             n_pts=np.asarray(self._n_pts, np.int32),
             points=np.asarray(self._points, np.float32).reshape(-1, 2),
+            flags=np.asarray(self._flags, np.uint32),
         )
         scene.validate()
         return scene

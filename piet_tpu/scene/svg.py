@@ -57,7 +57,10 @@ def load_svg_scene(svg_text: str, scale: float = 1.0,
         if fill is not None or stroke is not None:
             flattened = flatten_path(bez, tolerance)
         if fill is not None:
-            builder.fill_path(flattened, parse_color(fill))
+            # SVG fill-rule -> piet FillRule (extension; the reference
+            # ignores the attribute and always renders nonzero).
+            builder.fill_path(flattened, parse_color(fill),
+                              even_odd=node.get("fill-rule") == "evenodd")
         if stroke is not None:
             # f32 multiply, as the reference does (src/lib.rs:319-320:
             # ``f32::from_str(..)? * (scale as f32)``).
