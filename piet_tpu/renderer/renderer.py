@@ -167,6 +167,37 @@ def make_render_fn(config: RenderConfig, interpret: bool = False,
     return render
 
 
+def make_render_sequence_fn(config: RenderConfig, interpret: bool = False,
+                            fine_impl: str = "auto"):
+    """Build a jitted multi-frame render step: stacked DeviceScene (leading
+    frame axis on every leaf) -> (N, H, W) uint32 images.
+
+    Frames run sequentially inside ONE dispatch (lax.map), so per-frame
+    host/dispatch overhead is amortized -- the analog of the reference's
+    free-running 60 Hz redraw loop (PietRenderer.m:59-103) for animation
+    workloads where every frame re-encodes the scene (BASELINE config 5).
+    """
+    tiles_x, tiles_y = config.tiles_x, config.tiles_y
+    impl = _resolve_fine_impl(fine_impl)
+
+    @jax.jit
+    def render_seq(scenes: DeviceScene):
+        def one(scene):
+            img, _ = render_slab(scene, config, tiles_y=tiles_y, row0=0,
+                                 fine_impl=impl, interpret=interpret)
+            return img[:config.height, :config.width]
+
+        return jax.lax.map(one, scenes)
+
+    return render_seq
+
+
+def stack_scenes(scenes, config: RenderConfig) -> DeviceScene:
+    """Stage a list of scenes as one stacked DeviceScene (frame axis 0)."""
+    prepared = [prepare_scene(s, config) for s in scenes]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *prepared)
+
+
 class Renderer:
     """User-facing renderer: holds a config and its compiled render step.
 
@@ -204,6 +235,15 @@ class Renderer:
         img = np.asarray(self.render_u32(scene))
         return img.view(np.uint8).reshape(self.config.height,
                                           self.config.width, 4)
+
+    def render_sequence(self, scenes) -> np.ndarray:
+        """Render N scenes in one device dispatch -> (N, H, W, 4) uint8."""
+        if not hasattr(self, "_render_seq"):
+            self._render_seq = make_render_sequence_fn(self.config)
+        stacked = stack_scenes(scenes, self.config)
+        imgs = np.ascontiguousarray(np.asarray(self._render_seq(stacked)))
+        return imgs.view(np.uint8).reshape(
+            len(scenes), self.config.height, self.config.width, 4)
 
     def _check_capacity(self, stats: Dict) -> None:
         for k in ("seg_overflow", "hit_overflow", "cand_overflow",

@@ -114,3 +114,19 @@ def test_render_baseline_families(name, make):
     diff = np.abs(img.astype(np.int32) - gold.astype(np.int32))
     assert diff.max() <= 2, f"maxdiff {diff.max()}"
     assert (diff.max(-1) > 0).mean() < 1e-4
+
+
+def test_render_sequence_matches_per_frame():
+    """Batched multi-frame rendering (one dispatch) equals per-frame."""
+    from piet_tpu.scene.fixtures import make_animated_frame
+    scenes = [make_animated_frame(t / 10.0, size=256, n=20)
+              for t in range(3)]
+    from piet_tpu.renderer.capacity import fit_capacities
+    cfg = fit_capacities(scenes[0],
+                         RenderConfig(width=256, height=256, tile_height=16,
+                                      tile_width=16), bucket=True)
+    r = Renderer(cfg, fine_impl="xla")
+    batch = r.render_sequence(scenes)   # auto impl resolves to xla on CPU
+    
+    for i, s in enumerate(scenes):
+        np.testing.assert_array_equal(batch[i], r.render(s))
