@@ -209,6 +209,8 @@ class Renderer:
     def __init__(self, config: RenderConfig, interpret: bool = False,
                  fine_impl: str = "auto"):
         self.config = config
+        self._fine_impl = fine_impl
+        self._interpret = interpret
         self._render = make_render_fn(config, interpret=interpret,
                                       fine_impl=fine_impl)
         self.last_stats: Optional[Dict] = None
@@ -239,7 +241,9 @@ class Renderer:
     def render_sequence(self, scenes) -> np.ndarray:
         """Render N scenes in one device dispatch -> (N, H, W, 4) uint8."""
         if not hasattr(self, "_render_seq"):
-            self._render_seq = make_render_sequence_fn(self.config)
+            self._render_seq = make_render_sequence_fn(
+                self.config, interpret=self._interpret,
+                fine_impl=self._fine_impl)
         stacked = stack_scenes(scenes, self.config)
         imgs = np.ascontiguousarray(np.asarray(self._render_seq(stacked)))
         return imgs.view(np.uint8).reshape(
