@@ -36,7 +36,18 @@ def make_commands(X, Y, bar):
     Each takes ``(arg, r, g, b, df, area)`` where ``arg(k)`` returns scalar
     operand word k, and returns the updated ``(r, g, b, df, area)``.
     Ordered by reference tag value (Circle=2 .. Solid=8, GenTypes.h:440-495).
+
+    Draw commands read their item's clip rectangle from operand words 8-11
+    (piet clip extension); the NO_CLIP default makes the coverage multiply
+    an exact *1.0, so unclipped scenes are bit-identical to the reference
+    semantics.
     """
+
+    def clip_cov(arg):
+        cx0, cy0, cx1, cy1 = arg(8), arg(9), arg(10), arg(11)
+        covx = _saturate(jnp.minimum(cx1, X + 1.0) - jnp.maximum(cx0, X))
+        covy = _saturate(jnp.minimum(cy1, Y + 1.0) - jnp.maximum(cy0, Y))
+        return covx * covy
 
     def cmd_circle(arg, r, g, b, df, area):
         bx0, by0, bx1, by1 = arg(0), arg(1), arg(2), arg(3)
@@ -46,7 +57,7 @@ def make_commands(X, Y, bar):
         dy = Y - cy
         rad = jnp.sqrt(bar(dx * dx) + bar(dy * dy))
         circle_r = jnp.minimum(cx - bx0, cy - by0)
-        alpha = _saturate(circle_r - rad)
+        alpha = _saturate(circle_r - rad) * clip_cov(arg)
         # Blend toward black: color is never encoded for circles
         # (PietRender.metal:488-492).
         keep = 1.0 - alpha
@@ -74,7 +85,7 @@ def make_commands(X, Y, bar):
     def cmd_stroke(arg, r, g, b, df, area):
         half_width = arg(0)
         fr, fg, fb, fa = arg(1), arg(2), arg(3), arg(4)
-        alpha = _saturate(half_width + 0.5 - df)
+        alpha = _saturate(half_width + 0.5 - df) * clip_cov(arg)
         w = bar(fa * alpha)
         r, g, b = _blend(r, g, b, fr, fg, fb, w)
         return r, g, b, jnp.full_like(df, DF_INIT), area
@@ -118,14 +129,14 @@ def make_commands(X, Y, bar):
         # is exact in f32, so the even-odd branch is FMA-immune.
         eo = jnp.abs(x - 2.0 * jnp.round(0.5 * x))
         nz = jnp.minimum(jnp.abs(x), 1.0)
-        alpha = jnp.where(arg(5) != 0.0, eo, nz)
+        alpha = jnp.where(arg(5) != 0.0, eo, nz) * clip_cov(arg)
         w = bar(fa * alpha)
         r, g, b = _blend(r, g, b, fr, fg, fb, w)
         return r, g, b, df, jnp.zeros_like(area)
 
     def cmd_solid(arg, r, g, b, df, area):
         fr, fg, fb, fa = arg(0), arg(1), arg(2), arg(3)
-        r, g, b = _blend(r, g, b, fr, fg, fb, fa)
+        r, g, b = _blend(r, g, b, fr, fg, fb, fa * clip_cov(arg))
         return r, g, b, df, area
 
     return (cmd_circle, cmd_line, cmd_fill, cmd_stroke, cmd_fill_edge,

@@ -70,6 +70,7 @@ class DeviceScene(NamedTuple):
     n_pts: jax.Array       # (NI,) int32
     points: jax.Array      # (NP, 2) f32
     flags: jax.Array       # (NI,) uint32; bit 0 = even-odd fill rule
+    clips: jax.Array       # (NI, 4) f32 clip rect (piet clip extension)
     n_items: jax.Array     # () int32
 
 
@@ -475,11 +476,12 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
          (f32(0.5) * scene.widths)[:, None],
          jax.lax.bitcast_convert_type(scene.colors_u32, f32)[:, None],
          (scene.flags & 1).astype(f32)[:, None],         # even-odd rule
+         scene.clips,                                    # clip rect
          jax.lax.bitcast_convert_type(item_pack, f32)],
-        axis=1)                                          # (NI, 20)
+        axis=1)                                          # (NI, 24)
     ca = cand_pack[cand_item]
-    cf = ca[:, :11]
-    ci = jax.lax.bitcast_convert_type(ca[:, 11:], jnp.int32)
+    cf = ca[:, :15]
+    ci = jax.lax.bitcast_convert_type(ca[:, 15:], jnp.int32)
     csum = jnp.cumsum(delta_scatter)
     cand_row_start = (ci[:, 3]
                       + (cand_ty - ci[:, 5]) * jnp.maximum(ci[:, 8], 1))
@@ -530,11 +532,20 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     cand_args = cand_args.at[:, 3].set(a3)
     cand_args = cand_args.at[:, 4].set(a4)
     cand_args = cand_args.at[:, 5].set(a5)
+    # Draw-command clip rect (words 8-11; piet clip extension) -- every
+    # candidate tail command is a draw.
+    cand_args = cand_args.at[:, 8:12].set(cf[:, 11:15])
 
-    is_opaque_solid = is_solid & ((c_color_u32 & 0xFF) == 0xFF)
+    # A clipped solid cannot bail the tile (the clip may not cover it);
+    # must match the oracle's predicate exactly (raster/ptcl.py::solid).
+    c_uncl = ((cf[:, 11] == f32(-1e9)) & (cf[:, 12] == f32(-1e9))
+              & (cf[:, 13] == f32(1e9)) & (cf[:, 14] == f32(1e9)))
+    is_opaque_solid = is_solid & ((c_color_u32 & 0xFF) == 0xFF) & c_uncl
     # Clearing commands (reset the bail state): Circle, Line, Stroke,
-    # DrawFill (TileEncoder, PietRender.metal:81,90,99,124).
-    cand_is_clear = is_circle | is_drawfill | is_stroke
+    # DrawFill (TileEncoder, PietRender.metal:81,90,99,124) -- and clipped
+    # solids, which are partial draws (raster/ptcl.py::solid).
+    cand_is_clear = (is_circle | is_drawfill | is_stroke
+                     | (is_solid & ~c_uncl))
     if debug_stage == "cands":
         return (backdrop.sum() + cand_args.sum() + hit_n_cmds.sum() + slot0_args.sum() + slot1_args.sum())
 
@@ -562,7 +573,8 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                      | (cand_is_clear.astype(jnp.int32) << 3))
         cand_rows = jnp.concatenate(
             [cand_tag0.astype(f32)[:, None], cand_args[:, :7],
-             jnp.zeros((max_candidates, 5), f32),
+             jnp.zeros((max_candidates, 1), f32),        # slot-1 tag = 0
+             cand_args[:, 8:12],                         # clip rect
              jax.lax.bitcast_convert_type(
                  jnp.where(is_opaque_solid, c_color_u32,
                            jnp.uint32(0)), f32)[:, None],

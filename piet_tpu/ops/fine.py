@@ -72,13 +72,12 @@ def _fine_kernel(counts_ref, row0_ref, cmds_hbm, out_ref, cmds_s, sems, *,
 
     n_chunks = jnp.maximum(pl.cdiv(n, CMD_CHUNK), 1)
 
-    # Commands are one (T, 8, CAP) f32 array: sublane 0 is the tag (as a
-    # f32 -- values 1..8 are exact), sublanes 1..7 the operand words (no
-    # command uses more than 5), the command index on the lane axis.  A
-    # chunk slice is then exactly one (8, 128)-tile-aligned block per 128
-    # commands, which satisfies Mosaic's f32 memref tiling for any T
-    # (tiling inference is shape/dtype dependent, so layouts that slice
-    # single rows or partial sublane groups are not portable).
+    # Commands are one (T, 16, CAP) f32 array: sublane 0 is the tag (as a
+    # f32 -- values 1..8 are exact), sublanes 1..12 the operand words
+    # (words 8-11 carry the clip rect for draw commands), the command
+    # index on the lane axis.  A chunk slice is then (8, 128)-tile-aligned
+    # for any T (tiling inference is shape/dtype dependent, so layouts
+    # that slice single rows or partial sublane groups are not portable).
     def chunk_dma(slot, ci):
         return pltpu.make_async_copy(
             cmds_hbm.at[t, :, pl.ds(ci * CMD_CHUNK, CMD_CHUNK)],
@@ -165,7 +164,7 @@ def fine_rasterize(counts: jax.Array, tags: jax.Array, args: jax.Array,
                                lambda t, c, r0: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((2, 8, CMD_CHUNK), jnp.float32),
+            pltpu.SMEM((2, 16, CMD_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -179,7 +178,8 @@ def fine_rasterize(counts: jax.Array, tags: jax.Array, args: jax.Array,
     cmds = jnp.concatenate(
         [tags.astype(jnp.float32)[:, None, :],
          args.reshape(n_tiles, cmd_capacity, ARG_WORDS)
-         .transpose(0, 2, 1)[:, :7, :]],
+         .transpose(0, 2, 1),
+         jnp.zeros((n_tiles, 15 - ARG_WORDS, cmd_capacity), jnp.float32)],
         axis=1)
     tiles = tiles_fn(counts.reshape(-1),
                      jnp.asarray(row0, jnp.int32).reshape(1), cmds)

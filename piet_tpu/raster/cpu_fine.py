@@ -36,6 +36,16 @@ def _saturate(v: np.ndarray) -> np.ndarray:
     return np.clip(v, F(0.0), F(1.0))
 
 
+def _clip_cov(av: np.ndarray, X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    """Antialiased coverage of the clip rect in args words 8-11 (the piet
+    clip extension).  The NO_CLIP bounds give exactly 1.0 everywhere, so
+    the alpha multiply is a bitwise no-op for unclipped items."""
+    cx0, cy0, cx1, cy1 = (F(v) for v in av[8:12])
+    covx = _saturate(np.minimum(cx1, X + F(1.0)) - np.maximum(cx0, X))
+    covy = _saturate(np.minimum(cy1, Y + F(1.0)) - np.maximum(cy0, Y))
+    return covx * covy
+
+
 def render_tile(tags: np.ndarray, args: np.ndarray, count: int,
                 x0: float, y0: float, th: int, tw: int) -> np.ndarray:
     """Interpret one tile's command list; returns (th, tw, 3) linear f32."""
@@ -57,7 +67,7 @@ def render_tile(tags: np.ndarray, args: np.ndarray, count: int,
             cy = by0 + F(0.5) * (by1 - by0)
             r = np.sqrt((X - cx) ** 2 + (Y - cy) ** 2, dtype=F)
             circle_r = min(cx - bx0, cy - by0)
-            alpha = _saturate(circle_r - r)
+            alpha = _saturate(circle_r - r) * _clip_cov(av, X, Y)
             rgb = rgb * (F(1.0) - alpha)[..., None]  # mix toward black
         elif tag == CMD_LINE:
             sx, sy, ex, ey = (F(v) for v in av[:4])
@@ -77,7 +87,7 @@ def render_tile(tags: np.ndarray, args: np.ndarray, count: int,
         elif tag == CMD_STROKE:
             half_width = F(av[0])
             fg = av[1:5].astype(F)
-            alpha = _saturate(half_width + F(0.5) - df)
+            alpha = _saturate(half_width + F(0.5) - df) * _clip_cov(av, X, Y)
             w = (fg[3] * alpha)[..., None]
             rgb = rgb + (fg[None, None, :3] - rgb) * w
             df = np.full_like(df, DF_INIT)
@@ -126,12 +136,13 @@ def render_tile(tags: np.ndarray, args: np.ndarray, count: int,
                 alpha = np.abs(x - F(2.0) * np.round(F(0.5) * x))
             else:
                 alpha = np.minimum(np.abs(x), F(1.0))  # nonzero winding
+            alpha = alpha * _clip_cov(av, X, Y)
             w = (fg[3] * alpha)[..., None]
             rgb = rgb + (fg[None, None, :3] - rgb) * w
             area = np.zeros_like(area)
         elif tag == CMD_SOLID:
             fg = av[:4].astype(F)
-            w = fg[3]
+            w = (fg[3] * _clip_cov(av, X, Y))[..., None]
             rgb = rgb + (fg[None, None, :3] - rgb) * w
         else:
             raise ValueError(f"unknown ptcl tag {tag}")

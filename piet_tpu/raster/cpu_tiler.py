@@ -68,7 +68,7 @@ def _segments(points: np.ndarray, wrap: bool) -> _ItemSegs:
 
 
 def _fill_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int,
-               even_odd: bool,
+               even_odd: bool, clip,
                x0: F, y0: F, tw: F, th: F) -> None:
     """Reference fill logic (PietRender.metal:248-364) for one (item, tile)."""
     s = seg
@@ -120,13 +120,13 @@ def _fill_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int,
             any_fill = True
 
     if any_fill:
-        enc.draw_fill(int(backdrop), color, even_odd=even_odd)
+        enc.draw_fill(int(backdrop), color, even_odd=even_odd, clip=clip)
     elif backdrop != F(0.0):
-        enc.solid(color)
+        enc.solid(color, clip=clip)
 
 
 def _poly_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int, width: F,
-               x0: F, y0: F, tw: F, th: F) -> None:
+               clip, x0: F, y0: F, tw: F, th: F) -> None:
     """Reference polyline logic (PietRender.metal:366-444)."""
     hw = F(0.5) * width + F(0.5)
     s = seg
@@ -146,11 +146,11 @@ def _poly_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int, width: F,
         enc.line(s.start[k, 0], s.start[k, 1], s.end[k, 0], s.end[k, 1])
         any_stroke = True
     if any_stroke:
-        enc.stroke(color, width)
+        enc.stroke(color, width, clip=clip)
 
 
 def _line_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int, width: F,
-               x0: F, y0: F, tw: F, th: F) -> None:
+               clip, x0: F, y0: F, tw: F, th: F) -> None:
     """Reference single-line logic (PietRender.metal:223-247)."""
     hw = F(0.5) * width + F(0.5)
     left = seg.a * (x0 - hw)
@@ -163,7 +163,7 @@ def _line_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int, width: F,
     s11 = np.sign(bot + right + seg.c)
     if (s00 * s01 + s00 * s10 + s00 * s11 < F(3.0))[0]:
         enc.line(seg.start[0, 0], seg.start[0, 1], seg.end[0, 0], seg.end[0, 1])
-        enc.stroke(color, width)
+        enc.stroke(color, width, clip=clip)
 
 
 def cpu_tile_scene(scene: Scene, config: RenderConfig) -> Ptcl:
@@ -193,13 +193,16 @@ def cpu_tile_scene(scene: Scene, config: RenderConfig) -> Ptcl:
                 color = int(scene.colors[i])
                 width = F(scene.widths[i])
                 if tag == TAG_CIRCLE:
-                    enc.circle(bb[i])
+                    enc.circle(bb[i], clip=tuple(scene.clips[i]))
                 elif tag == TAG_LINE:
-                    _line_tile(enc, segs[i], color, width, x0, y0, tw, th)
+                    _line_tile(enc, segs[i], color, width,
+                               tuple(scene.clips[i]), x0, y0, tw, th)
                 elif tag == TAG_FILL:
                     _fill_tile(enc, segs[i], color,
-                               bool(scene.flags[i] & 1), x0, y0, tw, th)
+                               bool(scene.flags[i] & 1),
+                               tuple(scene.clips[i]), x0, y0, tw, th)
                 elif tag == TAG_POLY:
-                    _poly_tile(enc, segs[i], color, width, x0, y0, tw, th)
+                    _poly_tile(enc, segs[i], color, width,
+                               tuple(scene.clips[i]), x0, y0, tw, th)
             encoders.append(enc)
     return assemble_ptcl(encoders, config.cmd_capacity)

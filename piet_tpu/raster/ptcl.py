@@ -19,14 +19,16 @@ but the numbering is preserved for parity tooling.)
 
 Arg layouts (f32 words; colors are pre-decoded to linear RGB + alpha, a
 command-constant computation the reference redid per pixel,
-PietRender.metal:503,541,548):
-  Circle   [x0, y0, x1, y1]        quantized bbox as floats
+PietRender.metal:503,541,548).  Words 8-11 of every DRAW command carry the
+item's clip rectangle (piet clip extension; the no-clip default rect is
+huge, making the coverage multiply an exact *1.0):
+  Circle   [x0, y0, x1, y1, -, -, -, -, cx0, cy0, cx1, cy1]
   Line     [x0, y0, x1, y1]
   Fill     [x0, y0, x1, y1]
-  Stroke   [halfWidth, r, g, b, a]
+  Stroke   [halfWidth, r, g, b, a, -, -, -, cx0, cy0, cx1, cy1]
   FillEdge [sign, y]
-  DrawFill [backdrop, r, g, b, a, even_odd]
-  Solid    [r, g, b, a]
+  DrawFill [backdrop, r, g, b, a, even_odd, -, -, cx0, cy0, cx1, cy1]
+  Solid    [r, g, b, a, -, -, -, -, cx0, cy0, cx1, cy1]
 """
 
 from __future__ import annotations
@@ -48,7 +50,11 @@ CMD_DRAW_FILL = 7
 CMD_SOLID = 8
 CMD_BAIL = 9
 
-ARG_WORDS = 8
+ARG_WORDS = 12
+
+#: "No clip" rectangle: huge bounds make the clip-coverage multiply an
+#: exact *1.0 (X+1 - X is exact in f32 for viewport coordinates).
+NO_CLIP = (-1e9, -1e9, 1e9, 1e9)
 
 
 @dataclasses.dataclass
@@ -105,18 +111,20 @@ class TileCmdEncoder:
     def _rgba_linear(rgba: int) -> List[float]:
         return [float(v) for v in decode_color_linear(np.uint32(rgba))]
 
-    def circle(self, bbox) -> None:
+    def circle(self, bbox, clip=NO_CLIP) -> None:
         self.solid_color = 0
-        self._push(CMD_CIRCLE, [float(v) for v in bbox])
+        self._push(CMD_CIRCLE, [float(v) for v in bbox] + [0.0] * 4
+                   + [float(v) for v in clip])
 
     def line(self, x0: float, y0: float, x1: float, y1: float) -> None:
         self.solid_color = 0
         self._push(CMD_LINE, [float(x0), float(y0), float(x1), float(y1)])
 
-    def stroke(self, rgba: int, width: float) -> None:
+    def stroke(self, rgba: int, width: float, clip=NO_CLIP) -> None:
         self.solid_color = 0
         hw = float(np.float32(0.5) * np.float32(width))
-        self._push(CMD_STROKE, [hw] + self._rgba_linear(rgba))
+        self._push(CMD_STROKE, [hw] + self._rgba_linear(rgba) + [0.0] * 3
+                   + [float(v) for v in clip])
 
     def fill(self, x0: float, y0: float, x1: float, y1: float) -> None:
         # Fill coverage commands don't clear bail state by themselves
@@ -127,18 +135,25 @@ class TileCmdEncoder:
     def fill_edge(self, sign: float, y: float) -> None:
         self._push(CMD_FILL_EDGE, [float(sign), float(y)])
 
-    def draw_fill(self, backdrop: int, rgba: int,
-                  even_odd: bool = False) -> None:
+    def draw_fill(self, backdrop: int, rgba: int, even_odd: bool = False,
+                  clip=NO_CLIP) -> None:
         self.solid_color = 0
         self._push(CMD_DRAW_FILL, [float(backdrop)] + self._rgba_linear(rgba)
-                   + [1.0 if even_odd else 0.0])
+                   + [1.0 if even_odd else 0.0, 0.0, 0.0]
+                   + [float(v) for v in clip])
 
-    def solid(self, rgba: int) -> None:
-        if (rgba & 0xFF) == 0xFF:  # opaque (logical alpha is the low byte)
+    def solid(self, rgba: int, clip=NO_CLIP) -> None:
+        if tuple(clip) != NO_CLIP:
+            # A clipped solid is a PARTIAL draw: it can neither bail the
+            # tile nor leave earlier bail state standing (unlike the
+            # reference's translucent-solid quirk, which predates clips).
+            self.solid_color = 0
+        elif (rgba & 0xFF) == 0xFF:
             self.solid_color = rgba
             self.cmds.clear()
             self.overflow = 0
-        self._push(CMD_SOLID, self._rgba_linear(rgba))
+        self._push(CMD_SOLID, self._rgba_linear(rgba) + [0.0] * 4
+                   + [float(v) for v in clip])
 
     def end(self) -> int:
         """Returns the bail color (0 = render the command list)."""

@@ -63,6 +63,7 @@ def prepare_scene(scene: Scene, config: RenderConfig) -> DeviceScene:
         n_pts=jnp.asarray(pad(scene.n_pts, config.max_items)),
         points=jnp.asarray(pad(scene.points, config.max_points)),
         flags=jnp.asarray(pad(scene.flags, config.max_items)),
+        clips=jnp.asarray(pad(scene.clips, config.max_items)),
         n_items=jnp.int32(ni),
     )
 

@@ -187,6 +187,32 @@ def make_star_evenodd(size: int = 256) -> Scene:
     return b.build()
 
 
+def make_clipped_demo(size: int = 256) -> Scene:
+    """Clip-rectangle demo (piet clip extension): a big filled disk-ish
+    polygon, a stroked polyline and a solid-like fill, each clipped to a
+    different rect; one unclipped triangle for contrast."""
+    import math as _m
+    b = SceneBuilder()
+    b.begin_group(4)
+    k = 24
+    disk = [(size * 0.5 + size * 0.4 * _m.cos(2 * _m.pi * i / k),
+             size * 0.5 + size * 0.4 * _m.sin(2 * _m.pi * i / k))
+            for i in range(k)]
+    b.set_clip(size * 0.15, size * 0.15, size * 0.5, size * 0.5)
+    b.fill(disk, 0xCC3300FF)
+    b.set_clip(size * 0.55, size * 0.2, size * 0.9, size * 0.8)
+    b.polyline([(size * 0.1, size * 0.3), (size * 0.9, size * 0.5),
+                (size * 0.1, size * 0.7)], 0x0044CCFF, 6.0)
+    b.set_clip(size * 0.2, size * 0.6, size * 0.8, size * 0.9)
+    b.fill([(0.0, 0.0), (float(size), 0.0), (float(size), float(size)),
+            (0.0, float(size))], 0x22AA22FF)
+    b.clear_clip()
+    b.fill([(size * 0.4, size * 0.05), (size * 0.6, size * 0.05),
+            (size * 0.5, size * 0.2)], 0x000000FF)
+    b.end_group()
+    return b.build()
+
+
 SCENES = {
     "path_test": make_path_test,
     "cardioid": make_cardioid,
@@ -194,6 +220,7 @@ SCENES = {
     "beziers_10k": make_random_beziers,
     "glyph_page": make_glyph_page,
     "star_evenodd": make_star_evenodd,
+    "clipped_demo": make_clipped_demo,
 }
 
 

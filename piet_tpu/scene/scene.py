@@ -69,6 +69,10 @@ class Scene:
     #: PietRender.metal:543; piet's FillRule has both).  Not part of the
     #: reference wire format (scene/wire.py serializes without it).
     flags: np.ndarray = None  # (N,) uint32
+    #: per-item axis-aligned clip rectangle (x0, y0, x1, y1) f32 -- the
+    #: piet clip extension; NO_CLIP bounds mean unclipped.  Like flags,
+    #: not part of the reference wire format.
+    clips: np.ndarray = None  # (N, 4) float32
 
     @property
     def n_items(self) -> int:
@@ -85,7 +89,7 @@ class Scene:
         np.savez_compressed(
             path, tags=self.tags, colors=self.colors, widths=self.widths,
             bboxes=self.bboxes, pt_offset=self.pt_offset, n_pts=self.n_pts,
-            points=self.points, flags=self.flags)
+            points=self.points, flags=self.flags, clips=self.clips)
 
     @classmethod
     def load(cls, path: str) -> "Scene":
@@ -93,18 +97,26 @@ class Scene:
         scene = cls(tags=z["tags"], colors=z["colors"], widths=z["widths"],
                     bboxes=z["bboxes"], pt_offset=z["pt_offset"],
                     n_pts=z["n_pts"], points=z["points"],
-                    flags=z["flags"] if "flags" in z else None)
+                    flags=z["flags"] if "flags" in z else None,
+                    clips=z["clips"] if "clips" in z else None)
         scene.validate()
         return scene
 
     def __post_init__(self):
+        n = self.tags.shape[0]
         if self.flags is None:
-            object.__setattr__(self, "flags",
-                               np.zeros(self.tags.shape[0], np.uint32))
+            object.__setattr__(self, "flags", np.zeros(n, np.uint32))
+        if self.clips is None:
+            from ..raster.ptcl import NO_CLIP
+            object.__setattr__(
+                self, "clips",
+                np.broadcast_to(np.asarray(NO_CLIP, np.float32),
+                                (n, 4)).copy())
 
     def validate(self) -> None:
         n = self.n_items
         assert self.flags.shape == (n,)
+        assert self.clips.shape == (n, 4)
         assert self.colors.shape == (n,)
         assert self.widths.shape == (n,)
         assert self.bboxes.shape == (n, 4)
@@ -133,6 +145,8 @@ class SceneBuilder:
         self._n_pts: List[int] = []
         self._points: List[Tuple[float, float]] = []
         self._flags: List[int] = []
+        self._clips: List[Tuple[float, float, float, float]] = []
+        self._clip: Tuple[float, float, float, float] = None
         self._declared: int = -1
 
     # -- group API (parity with src/lib.rs:132-149) ---------------------
@@ -144,6 +158,14 @@ class SceneBuilder:
             raise ValueError(
                 f"group declared {self._declared} items, got {len(self._tags)}")
         self._declared = -1
+
+    # -- clip state (piet clip extension; axis-aligned rects) -------------
+    def set_clip(self, x0: float, y0: float, x1: float, y1: float) -> None:
+        """Clip subsequently-added items to the rectangle (antialiased)."""
+        self._clip = (x0, y0, x1, y1)
+
+    def clear_clip(self) -> None:
+        self._clip = None
 
     # -- item encoders ---------------------------------------------------
     def _add_points(self, points: Sequence[Tuple[float, float]]) -> Tuple[int, Tuple[float, float, float, float]]:
@@ -157,6 +179,7 @@ class SceneBuilder:
 
     def _add_item(self, tag: int, color: int, width: float,
                   off: int, n: int, bbox, flags: int = 0) -> None:
+        from ..raster.ptcl import NO_CLIP
         self._tags.append(tag)
         self._colors.append(color & 0xFFFFFFFF)
         self._widths.append(float(width))
@@ -164,6 +187,8 @@ class SceneBuilder:
         self._pt_offset.append(off)
         self._n_pts.append(n)
         self._flags.append(flags & 0xFFFFFFFF)
+        self._clips.append(tuple(map(float, self._clip))
+                           if self._clip is not None else NO_CLIP)
 
     def circle(self, cx: float, cy: float, r: float) -> None:
         """Encode a circle (bbox only, like src/lib.rs:167-174)."""
@@ -231,6 +256,7 @@ class SceneBuilder:
             n_pts=np.asarray(self._n_pts, np.int32),
             points=np.asarray(self._points, np.float32).reshape(-1, 2),
             flags=np.asarray(self._flags, np.uint32),
+            clips=np.asarray(self._clips, np.float32).reshape(-1, 4),
         )
         scene.validate()
         return scene

@@ -35,6 +35,13 @@ def random_scene(seed: int):
     b.begin_group()
     for _ in range(int(rng.integers(5, 40))):
         kind = int(rng.integers(0, 5))
+        if rng.random() < 0.2:
+            cx0, cy0 = rng.uniform(-10, SIZE, 2)
+            b.set_clip(float(cx0), float(cy0),
+                       float(cx0 + rng.uniform(1, SIZE / 2)),
+                       float(cy0 + rng.uniform(1, SIZE / 2)))
+        else:
+            b.clear_clip()
         color = (int(rng.integers(0, 1 << 24)) << 8) | int(
             rng.integers(0, 256))
         if kind == 0:
