@@ -75,12 +75,24 @@ def random_scene(seed: int):
     return b.build()
 
 
+# One shared generous config for most seeds (one XLA compile for the
+# whole sweep); the first three seeds exercise exact-fitted configs.
+SHARED_CFG = RenderConfig(width=SIZE, height=SIZE, tile_height=16,
+                          tile_width=16, cmd_capacity=1024,
+                          max_items=128, max_points=1 << 12,
+                          max_segments=1 << 12, max_hits=1 << 15,
+                          max_candidates=1 << 13, max_deltas=1 << 11)
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_fuzz_device_vs_oracle(seed):
     scene = random_scene(seed)
-    cfg = fit_capacities(
-        scene, RenderConfig(width=SIZE, height=SIZE, tile_height=16,
-                            tile_width=16))
+    if seed < 3:
+        cfg = fit_capacities(
+            scene, RenderConfig(width=SIZE, height=SIZE, tile_height=16,
+                                tile_width=16))
+    else:
+        cfg = SHARED_CFG
     # coarse: command-for-command
     dev = prepare_scene(scene, cfg)
     out = coarse_rasterize(
