@@ -94,7 +94,7 @@ class CoarseEntries(NamedTuple):
 
 class CoarseOutput(NamedTuple):
     tags: jax.Array      # (T, CAP) int32
-    args: jax.Array      # (T, CAP * 8) f32
+    args: jax.Array      # (T, CAP * ARG_WORDS) f32
     counts: jax.Array    # (T,) int32
     solid: jax.Array     # (T,) uint32 bail color, 0 = none
     overflow: jax.Array  # (T,) int32 dropped commands
@@ -168,8 +168,8 @@ def _item_tile_rect(bboxes, tw: int, th: int, tiles_x: int, tiles_y: int,
 def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                      tile_w: int, tile_h: int, cmd_capacity: int,
                      max_segments: int, max_hits: int, max_candidates: int,
-                     max_deltas: int, row0=0, output: str = "dense",
-                     debug_stage: str = "") -> CoarseOutput:
+                     max_deltas: int, row0=0,
+                     output: str = "dense") -> CoarseOutput:
     """row0: first tile row of this shard's slab (traced OK); tiles_y is
     the number of LOCAL rows.  Defaults cover the whole viewport."""
     NI = scene.tags.shape[0]
@@ -409,9 +409,6 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     slot1_args = slot1_args.at[:, 3].set(f1_ey)
 
     hit_n_cmds = slot0_valid.astype(jnp.int32) + slot1_valid.astype(jnp.int32)
-    if debug_stage == "tests":
-        return (slot0_args.sum() + slot1_args.sum() + hit_n_cmds.sum())
-
 
     # Per-candidate emitted-command count (drives anyFill/anyStroke).
     cand_emit = jax.ops.segment_sum(
@@ -488,9 +485,6 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     start_base = jnp.where(cand_row_start > 0, csum[cand_row_start - 1], 0.0)
     backdrop = csum[jnp.minimum(
         cand_row_start + (cand_tx - ci[:, 4]), max_candidates - 1)] - start_base
-    if debug_stage == "deltas":
-        return (backdrop.sum() + hit_n_cmds.sum() + slot0_args.sum() + slot1_args.sum())
-
 
     # ---- candidate tail commands --------------------------------------
     c_tag_item = ci[:, 0]
@@ -546,9 +540,6 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     # solids, which are partial draws (raster/ptcl.py::solid).
     cand_is_clear = (is_circle | is_drawfill | is_stroke
                      | (is_solid & ~c_uncl))
-    if debug_stage == "cands":
-        return (backdrop.sum() + cand_args.sum() + hit_n_cmds.sum() + slot0_args.sum() + slot1_args.sum())
-
 
     # ---- pre-sort row assembly (entries output) -----------------------
     # The post-sort side then needs only TWO gathers (rows, meta) instead
@@ -588,33 +579,38 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     # (tile, item) group needs no key bits: hit records are generated
     # segment-major with nondecreasing item, and candidate records
     # item-major, so a STABLE sort preserves painter's order within groups
-    # for free.  Falls back to a (key, seg) two-key sort only if the packed
-    # key would overflow int32 (huge item counts x tile grids).
+    # for free.  Falls back to an UNPACKED (tile, item*2+class) two-key
+    # stable sort if the packed key would overflow int32 (huge item counts
+    # x tile grids) -- packing and then sorting the wrapped key would
+    # silently corrupt tile assignment (tests/test_coarse.py covers the
+    # fallback at a config that trips it).
     stride = 2 * (NI + 1)
     packed_ok = n_tiles * stride < 2**31 - 2
     hit_live = hit_valid & (hit_n_cmds > 0)
-    hit_key1 = jnp.where(hit_live, h_tile * stride + h_item * 2, I32_MAX)
-    cand_key1 = jnp.where(cand_cmd_valid,
-                          cand_tile * stride + cand_item * 2 + 1, I32_MAX)
-    all_key1 = jnp.concatenate([hit_key1, cand_key1])
-    E = all_key1.shape[0]
+    E = max_hits + max_candidates
     order_idx = jnp.arange(E, dtype=jnp.int32)
     if packed_ok:
+        hit_key1 = jnp.where(hit_live, h_tile * stride + h_item * 2,
+                             I32_MAX)
+        cand_key1 = jnp.where(cand_cmd_valid,
+                              cand_tile * stride + cand_item * 2 + 1,
+                              I32_MAX)
+        all_key1 = jnp.concatenate([hit_key1, cand_key1])
         sorted_key1, sorted_idx = jax.lax.sort(
             (all_key1, order_idx), dimension=0, num_keys=1, is_stable=True)
+        live = sorted_key1 < I32_MAX
+        e_tile = jnp.where(live, sorted_key1 // stride, n_tiles)
     else:
-        all_key2 = jnp.concatenate(
-            [hit_seg, jnp.full((max_candidates,), max_segments + 1,
-                               jnp.int32)])
-        sorted_key1, _, sorted_idx = jax.lax.sort(
-            (all_key1, all_key2, order_idx), dimension=0, num_keys=2,
-            is_stable=True)
-    if debug_stage == "sort":
-        return (sorted_key1.sum() + sorted_idx.sum() + backdrop.sum() + cand_args.sum() + slot0_args.sum() + slot1_args.sum())
-
-
-    live = sorted_key1 < I32_MAX
-    e_tile = jnp.where(live, sorted_key1 // stride, n_tiles)
+        hit_key_t = jnp.where(hit_live, h_tile, I32_MAX)
+        cand_key_t = jnp.where(cand_cmd_valid, cand_tile, I32_MAX)
+        hit_key_i = jnp.where(hit_live, h_item * 2, I32_MAX)
+        cand_key_i = jnp.where(cand_cmd_valid, cand_item * 2 + 1, I32_MAX)
+        sorted_key_t, _, sorted_idx = jax.lax.sort(
+            (jnp.concatenate([hit_key_t, cand_key_t]),
+             jnp.concatenate([hit_key_i, cand_key_i]), order_idx),
+            dimension=0, num_keys=2, is_stable=True)
+        live = sorted_key_t < I32_MAX
+        e_tile = jnp.where(live, sorted_key_t, n_tiles)
     if output == "entries":
         e_rows = all_rows[sorted_idx]
         e_meta = jnp.where(live, e_rows[:, 14].astype(jnp.int32), 0)
@@ -658,9 +654,6 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     tile_cmd_total = jnp.where(
         has_entries, cpos_excl[last_c] + e_ncmds[last_c] - tile_cmd_base, 0)
     e_pos = cpos_excl - tile_cmd_base[jnp.minimum(e_tile, n_tiles - 1)]
-    if debug_stage == "pos":
-        return (e_pos.sum() + sorted_idx.sum() + backdrop.sum() + cand_args.sum() + slot0_args.sum() + slot1_args.sum())
-
 
     # ---- bail analysis (from the fused reduction) ---------------------
     opq_e = jnp.maximum(red[:, 2], -1)
@@ -683,9 +676,6 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     start = jnp.where(bail, jnp.int32(0),
                       jnp.where(last_opaque >= 0, last_opaque, 0))
     count_post = jnp.where(bail, 0, tile_cmd_total - start)
-    if debug_stage == "bail":
-        return (count_post.sum() + e_pos.sum() + sorted_idx.sum() + backdrop.sum() + cand_args.sum() + slot0_args.sum() + slot1_args.sum())
-
     overflow = jnp.maximum(count_post - cmd_capacity, 0)
     counts = jnp.minimum(count_post, cmd_capacity)
 

@@ -43,8 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..raster.ptcl import ARG_WORDS
 from .cmd_math import DF_INIT, make_commands, pack_rgba8
 
-# Commands DMA'd per double-buffer slot: 128 tags (512 B) + 128x8 f32
-# operands (4 KiB) -- small enough for SMEM, and chunk boundaries stay
+# Commands DMA'd per double-buffer slot: 128 tags (512 B) + 128xARG_WORDS
+# f32 operands -- small enough for SMEM, and chunk boundaries stay
 # 128-lane-aligned, which Mosaic requires for sliced DMA sources.
 CMD_CHUNK = 128
 
@@ -139,7 +139,8 @@ def fine_rasterize(counts: jax.Array, tags: jax.Array, args: jax.Array,
     Args:
       counts: (tiles_y, tiles_x) int32 live-command counts.
       tags: (T, CAP) int32 command tags (T = tiles_y * tiles_x, row-major).
-      args: (T, CAP * 8) float32 flattened command operands.
+      args: (T, CAP * ARG_WORDS) float32 flattened command operands
+        (ARG_WORDS = 12; words 8-11 carry the draw-command clip rect).
 
     ``row0``: first tile row of this shard's slab (traced OK) -- pixel
     coordinates are absolute, output shape is the local slab.

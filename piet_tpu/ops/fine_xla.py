@@ -40,7 +40,8 @@ def fine_rasterize_xla(counts: jax.Array, tags: jax.Array, args: jax.Array,
     Args:
       counts: (tiles_y, tiles_x) int32 live-command counts.
       tags: (T, CAP) int32 command tags.
-      args: (T, CAP * 8) float32 command operands.
+      args: (T, CAP * ARG_WORDS) float32 command operands (ARG_WORDS =
+        12; words 8-11 carry the draw-command clip rect).
 
     ``row0``: first tile row of this shard's slab (traced OK) -- pixel
     coordinates are absolute, output shape is the local slab.
@@ -62,7 +63,7 @@ def fine_rasterize_xla(counts: jax.Array, tags: jax.Array, args: jax.Array,
             jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
         Y = oy.astype(jnp.float32) + jax.lax.broadcasted_iota(
             jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-        # lax.switch can't take a function operand; pass the (8,) operand
+        # lax.switch can't take a function operand; pass the (ARG_WORDS,)
         # vector and let each lifted branch index it.
         def lift(cmd):
             def branch(words, r, g, b, df, area):

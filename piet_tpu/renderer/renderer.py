@@ -184,9 +184,9 @@ def make_render_sequence_fn(config: RenderConfig, interpret: bool = False,
     @jax.jit
     def render_seq(scenes: DeviceScene):
         def one(scene):
-            img, _ = render_slab(scene, config, tiles_y=tiles_y, row0=0,
-                                 fine_impl=impl, interpret=interpret)
-            return img[:config.height, :config.width]
+            img, stats = render_slab(scene, config, tiles_y=tiles_y, row0=0,
+                                     fine_impl=impl, interpret=interpret)
+            return img[:config.height, :config.width], stats
 
         return jax.lax.map(one, scenes)
 
@@ -240,13 +240,22 @@ class Renderer:
                                           self.config.width, 4)
 
     def render_sequence(self, scenes) -> np.ndarray:
-        """Render N scenes in one device dispatch -> (N, H, W, 4) uint8."""
+        """Render N scenes in one device dispatch -> (N, H, W, 4) uint8.
+
+        Per-frame stats land in ``last_stats`` (frame axis 0) and get the
+        same overflow checks as the single-frame path -- a frame whose
+        records exceed capacity raises instead of rendering corrupted
+        pixels."""
         if not hasattr(self, "_render_seq"):
             self._render_seq = make_render_sequence_fn(
                 self.config, interpret=self._interpret,
                 fine_impl=self._fine_impl)
         stacked = stack_scenes(scenes, self.config)
-        imgs = np.ascontiguousarray(np.asarray(self._render_seq(stacked)))
+        imgs_dev, stats = self._render_seq(stacked)
+        imgs = np.ascontiguousarray(np.asarray(imgs_dev))
+        self.last_stats = jax.tree.map(lambda x: np.asarray(x), stats)
+        self._check_capacity(
+            {k: v.sum() for k, v in self.last_stats.items()})
         return imgs.view(np.uint8).reshape(
             len(scenes), self.config.height, self.config.width, 4)
 

@@ -98,3 +98,22 @@ def test_coarse_matches_cpu_tiler(name, make, cfg_kw):
     out = run_coarse(scene, cfg)
     gold = cpu_tile_scene(scene, cfg)
     assert_ptcl_equal(out, gold, cfg)
+
+
+def test_sort_fallback_unpacked_keys():
+    """Configs whose packed sort key (tile * 2*(NI+1) + item*2 + class)
+    would overflow int32 must fall back to the unpacked two-key sort --
+    the packed key silently wraps otherwise, corrupting tile assignment
+    (ADVICE round 1).  This config trips packed_ok=False."""
+    cfg = RenderConfig(width=1024, height=1024, tile_height=16,
+                       tile_width=16, cmd_capacity=128,
+                       max_items=1 << 19, max_points=1024,
+                       max_segments=1024, max_hits=1 << 16,
+                       max_candidates=1 << 16, max_deltas=1 << 12)
+    n_tiles = cfg.tiles_x * cfg.tiles_y
+    stride = 2 * (cfg.max_items + 1)
+    assert n_tiles * stride >= 2**31 - 2, "config no longer trips fallback"
+    scene = make_cardioid(center=(512.0, 512.0), r=400.0)
+    out = run_coarse(scene, cfg)
+    gold = cpu_tile_scene(scene, cfg)
+    assert_ptcl_equal(out, gold, cfg)

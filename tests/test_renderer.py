@@ -130,3 +130,22 @@ def test_render_sequence_matches_per_frame():
     
     for i, s in enumerate(scenes):
         np.testing.assert_array_equal(batch[i], r.render(s))
+
+
+def test_render_sequence_checks_capacity():
+    """A frame in a batch that exceeds record capacity must raise, not
+    render corrupted pixels (ADVICE round 1: render_sequence previously
+    discarded per-frame stats)."""
+    import pytest
+    from piet_tpu.renderer.renderer import SceneCapacityError
+    from piet_tpu.scene.fixtures import make_animated_frame
+    scenes = [make_animated_frame(t / 10.0, size=256, n=20)
+              for t in range(2)]
+    cfg = RenderConfig(width=256, height=256, tile_height=16, tile_width=16,
+                       cmd_capacity=128, max_items=256, max_points=2048,
+                       max_segments=16,  # far below the scene's segments
+                       max_hits=1 << 12, max_candidates=1 << 12,
+                       max_deltas=1 << 10)
+    r = Renderer(cfg, fine_impl="xla")
+    with pytest.raises(SceneCapacityError):
+        r.render_sequence(scenes)
