@@ -107,6 +107,20 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Per-stage pipeline timing on the attached backend (see
+    piet_tpu/profiling.py for methodology)."""
+    from .profiling import format_profile, profile_render
+
+    scene = _build_scene(args)
+    cfg = _config_for(args, scene)
+    results = profile_render(scene, cfg, fine_impl=args.fine_impl,
+                             reps=args.frames)
+    print(format_profile(results))
+    print(json.dumps(results))
+    return 0
+
+
 def cmd_goldens(args) -> int:
     """Render every fixture through the device path and the CPU oracle,
     write PNG pairs, and report the max difference."""
@@ -178,6 +192,11 @@ def main(argv=None) -> int:
     b.add_argument("--reencode", action="store_true",
                    help="re-encode + re-upload the scene every frame")
     b.set_defaults(fn=cmd_bench)
+
+    pr = sub.add_parser("profile", help="per-stage pipeline timing (JSON)")
+    scene_args(pr)
+    pr.add_argument("--frames", type=int, default=10)
+    pr.set_defaults(fn=cmd_profile)
 
     g = sub.add_parser("goldens", help="device vs CPU-oracle PNG pairs")
     g.add_argument("--outdir", default="goldens")

@@ -53,6 +53,7 @@ import jax.numpy as jnp
 from ..raster.ptcl import (ARG_WORDS, CMD_CIRCLE, CMD_DRAW_FILL, CMD_FILL,
                            CMD_FILL_EDGE, CMD_LINE, CMD_SOLID, CMD_STROKE)
 from ..scene.scene import TAG_CIRCLE, TAG_FILL, TAG_LINE, TAG_POLY
+from .sort import stable_sort_multi
 
 I32_MAX = jnp.int32(2**31 - 1)
 
@@ -169,15 +170,28 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                      tile_w: int, tile_h: int, cmd_capacity: int,
                      max_segments: int, max_hits: int, max_candidates: int,
                      max_deltas: int, row0=0,
-                     output: str = "dense") -> CoarseOutput:
+                     output: str = "dense", sort_impl: str = "auto",
+                     with_probes: bool = False) -> CoarseOutput:
     """row0: first tile row of this shard's slab (traced OK); tiles_y is
-    the number of LOCAL rows.  Defaults cover the whole viewport."""
+    the number of LOCAL rows.  Defaults cover the whole viewport.
+
+    with_probes=True adds ``diag["probes"]``: an ordered dict of cheap
+    scalars, one per pipeline stage, each forcing exactly that stage's
+    dependency closure.  The profiler (piet_tpu/profiling.py) jits
+    cumulative prefixes of them to time each stage on hardware; production
+    callers leave it False (the probe sums are then never built)."""
     NI = scene.tags.shape[0]
     row0 = jnp.int32(row0)
     n_tiles = tiles_x * tiles_y
     twf = jnp.float32(tile_w)
     thf = jnp.float32(tile_h)
     f32 = jnp.float32
+
+    probes = {}
+
+    def stage_probe(name, *vals):
+        if with_probes:
+            probes[name] = sum(jnp.sum(v, dtype=jnp.float32) for v in vals)
 
     item_ids = jnp.arange(NI, dtype=jnp.int32)
     active = (item_ids < scene.n_items) & (scene.tags > 0)
@@ -194,6 +208,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     cand_ty = by0[cand_item] + cand_local // cand_w
     cand_tx = bx0[cand_item] + cand_local % cand_w
     cand_tile = (cand_ty - row0) * tiles_x + cand_tx
+    stage_probe("cand_expand", cand_tile)
 
     # ---- segment derivation ------------------------------------------
     # Fill items: n wrap-around segments; poly: n-1; line: 1; circle: 0.
@@ -236,6 +251,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     s_hw = f32(0.5) * scene.widths[seg_item] + f32(0.5)
     is_fill_seg = seg_valid & (s_tag == TAG_FILL)
     is_stroke_seg = seg_valid & ((s_tag == TAG_POLY) | (s_tag == TAG_LINE))
+    stage_probe("seg_derive", a, b, c)
 
     # ---- per-segment emission rects ----------------------------------
     # Fill: exact solve of the reference's x/y-extent conditions (tile dims
@@ -297,10 +313,12 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     r_h = jnp.maximum(r_y_hi - r_y_lo + 1, 0)
     hit_counts = jnp.where(seg_valid & (seg_counts[seg_item] > 0),
                            r_w * r_h, 0)
+    stage_probe("seg_rects", hit_counts)
 
     hit_excl, hit_incl = _exclusive_cumsum(hit_counts)
     n_hits = hit_incl[-1]
     hit_seg, hit_local, hit_valid = _expand(hit_counts, max_hits)
+    stage_probe("hit_expand", hit_seg)
 
     # Per-segment attributes packed into one f32 and one i32 matrix; the
     # hit expansion then costs two row gathers instead of ~15 1-D gathers
@@ -327,6 +345,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     h_item = hi[:, 4]
     h_tile = (h_ty - row0) * tiles_x + h_tx
     h_cand = hi[:, 5] + (h_ty - hi[:, 6]) * hi[:, 7] + (h_tx - hi[:, 8])
+    stage_probe("hit_gather", h_tile, h_cand)
 
     # ---- exact per-record tests (f32, identical to cpu_tiler.py) ------
     x0f = h_tx.astype(f32) * twf
@@ -409,6 +428,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     slot1_args = slot1_args.at[:, 3].set(f1_ey)
 
     hit_n_cmds = slot0_valid.astype(jnp.int32) + slot1_valid.astype(jnp.int32)
+    stage_probe("hit_tests", hit_n_cmds, slot0_args, slot1_args)
 
     # Per-candidate emitted-command count (drives anyFill/anyStroke).
     cand_emit = jax.ops.segment_sum(
@@ -416,6 +436,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         num_segments=max_candidates + 1)[:max_candidates]
 
     # ---- winding deltas (backdrop) ------------------------------------
+    stage_probe("cand_emit", cand_emit)
     # Rows whose top edge y0 lies in [ymin, ymax] (see cpu_tiler backdrop
     # mask); exact for power-of-two tile heights.
     d_y_lo = jnp.maximum(jnp.ceil(xmn[:, 1] / thf).astype(jnp.int32), row0)
@@ -485,6 +506,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     start_base = jnp.where(cand_row_start > 0, csum[cand_row_start - 1], 0.0)
     backdrop = csum[jnp.minimum(
         cand_row_start + (cand_tx - ci[:, 4]), max_candidates - 1)] - start_base
+    stage_probe("deltas", backdrop)
 
     # ---- candidate tail commands --------------------------------------
     c_tag_item = ci[:, 0]
@@ -573,47 +595,68 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
              jnp.zeros((max_candidates, 1), f32)],
             axis=1)                                      # (C, 16)
         all_rows = jnp.concatenate([hit_rows, cand_rows])
+        stage_probe("rows", all_rows)
 
-    # ---- global sort: ONE stable 32-bit key -----------------------------
-    # key = tile * 2*(NI+1) + item * 2 + class.  Segment order within a
-    # (tile, item) group needs no key bits: hit records are generated
-    # segment-major with nondecreasing item, and candidate records
-    # item-major, so a STABLE sort preserves painter's order within groups
-    # for free.  Falls back to an UNPACKED (tile, item*2+class) two-key
-    # stable sort if the packed key would overflow int32 (huge item counts
-    # x tile grids) -- packing and then sorting the wrapped key would
-    # silently corrupt tile assignment (tests/test_coarse.py covers the
-    # fallback at a config that trips it).
+    # ---- global sort: stable key (tile, item, class) --------------------
+    # Packed key = tile * 2*(NI+1) + item * 2 + class.  Segment order
+    # within a (tile, item) group needs no key bits: hit records are
+    # generated segment-major with nondecreasing item, and candidate
+    # records item-major, so a STABLE sort preserves painter's order
+    # within groups for free.
+    #
+    # Keys are f32 (exact for integers < 2^24): s32 selects inside this
+    # fused context hit an XLA:TPU slow path (4.2 ms vs 0.03 ms for the
+    # identical f32 select at 37k records -- measured, see ROADMAP).
+    # Falls back to an UNPACKED (tile, item*2+class) two-key sort when the
+    # packed key would lose integer exactness in f32 (huge item counts x
+    # tile grids; tests/test_coarse.py covers the fallback at a config
+    # that trips it).
     stride = 2 * (NI + 1)
-    packed_ok = n_tiles * stride < 2**31 - 2
+    packed_ok = n_tiles * stride < 2**24
+    assert n_tiles < 2**24 and 2 * NI + 2 < 2**24, "f32 key range"
     hit_live = hit_valid & (hit_n_cmds > 0)
     E = max_hits + max_candidates
+    DEAD = f32(jnp.inf)
     order_idx = jnp.arange(E, dtype=jnp.int32)
     if packed_ok:
-        hit_key1 = jnp.where(hit_live, h_tile * stride + h_item * 2,
-                             I32_MAX)
-        cand_key1 = jnp.where(cand_cmd_valid,
-                              cand_tile * stride + cand_item * 2 + 1,
-                              I32_MAX)
-        all_key1 = jnp.concatenate([hit_key1, cand_key1])
-        sorted_key1, sorted_idx = jax.lax.sort(
-            (all_key1, order_idx), dimension=0, num_keys=1, is_stable=True)
-        live = sorted_key1 < I32_MAX
-        e_tile = jnp.where(live, sorted_key1 // stride, n_tiles)
+        hit_key1 = jnp.where(
+            hit_live, (h_tile * stride + h_item * 2).astype(f32), DEAD)
+        cand_key1 = jnp.where(
+            cand_cmd_valid,
+            (cand_tile * stride + cand_item * 2 + 1).astype(f32), DEAD)
+        all_keys = (jnp.concatenate([hit_key1, cand_key1]),)
     else:
-        hit_key_t = jnp.where(hit_live, h_tile, I32_MAX)
-        cand_key_t = jnp.where(cand_cmd_valid, cand_tile, I32_MAX)
-        hit_key_i = jnp.where(hit_live, h_item * 2, I32_MAX)
-        cand_key_i = jnp.where(cand_cmd_valid, cand_item * 2 + 1, I32_MAX)
-        sorted_key_t, _, sorted_idx = jax.lax.sort(
-            (jnp.concatenate([hit_key_t, cand_key_t]),
-             jnp.concatenate([hit_key_i, cand_key_i]), order_idx),
-            dimension=0, num_keys=2, is_stable=True)
-        live = sorted_key_t < I32_MAX
-        e_tile = jnp.where(live, sorted_key_t, n_tiles)
+        all_keys = (
+            jnp.concatenate(
+                [jnp.where(hit_live, h_tile.astype(f32), DEAD),
+                 jnp.where(cand_cmd_valid, cand_tile.astype(f32), DEAD)]),
+            jnp.concatenate(
+                [jnp.where(hit_live, (h_item * 2).astype(f32), DEAD),
+                 jnp.where(cand_cmd_valid,
+                           (cand_item * 2 + 1).astype(f32), DEAD)]))
+    # Bitonic Pallas sort on TPU (ops/sort.py): lax.sort inside this
+    # pipeline costs ~7 ms at 58k records (an XLA:TPU scheduling
+    # pathology -- standalone it is 0.7 ms); the bitonic network is
+    # ~0.7 ms and bit-identical to the stable sort.
+    sorted_keys, sorted_idx = stable_sort_multi(
+        all_keys, order_idx, impl=sort_impl)
+    live = sorted_keys[0] < DEAD
+    if packed_ok:
+        # Dead keys (+inf) cap to n_tiles * stride, so tile decode needs
+        # no select: n_tiles*stride // stride == n_tiles == "no tile".
+        key_cap = jnp.minimum(sorted_keys[0], f32(n_tiles * stride))
+        e_tile = key_cap.astype(jnp.int32) // stride
+    else:
+        e_tile = jnp.minimum(sorted_keys[0],
+                             f32(n_tiles)).astype(jnp.int32)
+    stage_probe("sort", e_tile, sorted_idx)
     if output == "entries":
         e_rows = all_rows[sorted_idx]
-        e_meta = jnp.where(live, e_rows[:, 14].astype(jnp.int32), 0)
+        stage_probe("sorted_gather", e_rows)
+        # Zero dead rows FIRST (f32 select), then read meta from the
+        # zeroed array -- avoids s32 selects on record-sized arrays.
+        stream16 = jnp.where(live[:, None], e_rows, 0.0)
+        e_meta = stream16[:, 14].astype(jnp.int32)
         e_ncmds = e_meta & 3
         e_is_opaque = (e_meta & 4) != 0
         # Clearing state: CmdLine clears bail (PietRender.metal:90); fill
@@ -634,17 +677,27 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     # entries are tile-sorted, so within a tile entry-index order equals
     # command-position order, and first/last/last-opaque/last-clear are all
     # index maxima of per-entry values (first via the negated index).
+    # The reduction runs in f32 (entry indices < 2^24 are exact; arithmetic
+    # masks replace the slow s32 selects -- same rationale as the keys).
     cpos_excl, _ = _exclusive_cumsum(e_ncmds)
     eidx = jnp.arange(E, dtype=jnp.int32)
+    assert E < 2**24, "f32 entry-index range"
+    eidx_f = jnp.arange(E, dtype=f32)
     seg_tile = jnp.minimum(e_tile, n_tiles)
     packed = jnp.stack(
-        [-eidx - 1,                                   # -> first entry
-         eidx,                                        # -> last entry
-         jnp.where(e_is_opaque, eidx, -1),            # -> last opaque
-         jnp.where(e_is_clear, eidx, -2)],            # -> last clearing
+        [-eidx_f - 1,                                 # -> first entry
+         eidx_f,                                      # -> last entry
+         # where(opaque, eidx, -1) and where(clear, eidx, -2) as exact
+         # f32 arithmetic: mask * (eidx + c) - c.
+         e_is_opaque.astype(f32) * (eidx_f + 1) - 1,  # -> last opaque
+         e_is_clear.astype(f32) * (eidx_f + 2) - 2],  # -> last clearing
         axis=1)
-    red = jax.ops.segment_max(packed, seg_tile,
-                              num_segments=n_tiles + 1)[:n_tiles]
+    red_f = jax.ops.segment_max(packed, seg_tile,
+                                num_segments=n_tiles + 1)[:n_tiles]
+    # Empty tiles reduce to -inf; clamp into exact-int f32 range before
+    # the i32 conversion (the clamp value keeps every downstream
+    # comparison's outcome identical to the old INT32_MIN behavior).
+    red = jnp.maximum(red_f, f32(-(E + 2))).astype(jnp.int32)
     first_raw = -red[:, 0] - 1
     last_raw = red[:, 1]
     has_entries = last_raw >= 0
@@ -654,6 +707,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     tile_cmd_total = jnp.where(
         has_entries, cpos_excl[last_c] + e_ncmds[last_c] - tile_cmd_base, 0)
     e_pos = cpos_excl - tile_cmd_base[jnp.minimum(e_tile, n_tiles - 1)]
+    stage_probe("tile_reduce", red, e_pos)
 
     # ---- bail analysis (from the fused reduction) ---------------------
     opq_e = jnp.maximum(red[:, 2], -1)
@@ -684,7 +738,6 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         # tile gets an index range -- no scatter at all (the dense path's
         # two row scatters are ~30 ms at 128k records).  Dead entries
         # carry tag 0 rows by construction.
-        stream16 = jnp.where(live[:, None], e_rows, 0.0)
         stream = stream16.reshape(E // 128, 128, 16).transpose(0, 2, 1)
         # Per-tile live range: the dense path's start/count logic, in
         # entry units.  The stream reset at an opaque solid keeps entries
@@ -702,6 +755,8 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
             "cand_overflow": jnp.maximum(n_cand - max_candidates, 0),
             "delta_overflow": jnp.maximum(n_deltas - max_deltas, 0),
         }
+        if with_probes:
+            diag["probes"] = probes
         return CoarseEntries(stream=stream, first=first_live,
                              n_entries=n_live, counts=count_post,
                              solid=solid_color, diag=diag)
@@ -758,6 +813,8 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         "cand_overflow": jnp.maximum(n_cand - max_candidates, 0),
         "delta_overflow": jnp.maximum(n_deltas - max_deltas, 0),
     }
+    if with_probes:
+        diag["probes"] = probes
     return CoarseOutput(
         tags=out_tags.reshape(n_tiles, cmd_capacity),
         args=out_args.reshape(n_tiles, cmd_capacity * ARG_WORDS),

@@ -1,0 +1,168 @@
+"""Per-stage pipeline profiler (user-invocable, tested).
+
+Times each stage of the coarse binning pass plus the fine rasterizer on the
+attached backend.  The coarse pass exposes cheap probe scalars, one per
+stage (``coarse_rasterize(..., with_probes=True)`` -> ``diag["probes"]``);
+jitting the cumulative prefix of probes 1..k makes XLA dead-code-eliminate
+every later stage, so the measured time is exactly the dependency closure
+of stage k.  Stage time = prefix(k) - prefix(k-1).
+
+This replaces the reference's externally-tooled profiling story (Xcode GPU
+capture, SURVEY.md section 5) with an in-repo, scriptable one:
+
+    python -m piet_tpu profile --width 3840 --height 2160 --scale 19.2
+
+Timing is pipelined (dispatch ``reps`` steps, sync once) for the same
+reason as bench.py: the host reaches the chip through a tunnel whose
+round-trip would otherwise swamp the numbers.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RenderConfig
+from .ops.coarse import coarse_rasterize
+from .ops.fine import fine_rasterize_entries
+from .renderer.renderer import (_resolve_fine_impl, _solid_to_present_u32,
+                                make_render_fn, prepare_scene)
+
+#: Probe order: each entry depends on all earlier ones, so cumulative
+#: prefix timings are monotone and differences are per-stage costs.
+STAGE_ORDER = (
+    "cand_expand",    # item bbox -> candidate record expansion
+    "seg_derive",     # segment point gathers + line equations
+    "seg_rects",      # per-segment tile emission rects
+    "hit_expand",     # (segment, tile) hit-record expansion
+    "hit_gather",     # packed per-segment attribute row gather
+    "hit_tests",      # exact per-record f32 sign tests + slot args
+    "cand_emit",      # per-candidate emitted-command counts
+    "deltas",         # winding delta records + backdrop prefix sums
+    "rows",           # pre-sort 16-word row assembly
+    "sort",           # the global stable sort
+    "sorted_gather",  # sorted-order row gather
+    "tile_reduce",    # fused per-tile range/bail reductions
+)
+
+
+def _sync(out) -> None:
+    """Force execution of every dispatched step.
+
+    ``jax.block_until_ready`` does NOT reliably wait on the tunneled axon
+    backend (measured: it returns immediately, making same-input pipelined
+    loops time at ~0.04 ms/step while the chip actually takes 15 ms).
+    Only a real device-to-host fetch synchronizes; fetch one element of
+    one leaf -- device FIFO order then guarantees every earlier step ran.
+    """
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim] if leaf.ndim else leaf)
+
+
+def _time_pipelined(fn, args, reps: int) -> float:
+    """Median-of-3 pipelined ms/step: dispatch ``reps`` steps, sync once.
+
+    The sync is a D2H fetch whose ~one-round-trip cost (tens of ms through
+    the tunnel) would bias every sample by rtt/reps; it is measured on an
+    idle queue right after each sample and subtracted.
+    """
+    out = fn(*args)
+    _sync(out)  # compile + warm
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        _sync(out)
+        t1 = time.perf_counter()
+        _sync(out)  # idle-queue fetch: measures pure sync/rtt cost
+        t2 = time.perf_counter()
+        samples.append(((t1 - t0) - (t2 - t1)) * 1e3 / reps)
+    return float(np.median(samples))
+
+
+def profile_render(scene, config: RenderConfig, *, fine_impl: str = "auto",
+                   reps: int = 10, interpret: bool = False) -> Dict[str, float]:
+    """Stage -> ms for one frame of ``scene`` under ``config``.
+
+    Returns an ordered dict: every coarse stage (incremental cost), then
+    ``coarse_total``, ``fine``, ``end_to_end`` (full jitted render step,
+    including the present composite).  Increments can be slightly negative
+    in the noise floor; they are reported as measured.
+    """
+    dev = prepare_scene(scene, config)
+    if fine_impl == "auto":
+        # Resolve from where the staged arrays actually live (the axon TPU
+        # plugin registers even when the session is pinned to CPU, so
+        # jax.default_backend() alone is not trustworthy here).
+        platform = jax.tree.leaves(dev)[0].devices().pop().platform
+        impl = "pallas" if platform == "tpu" else "xla"
+    else:
+        impl = _resolve_fine_impl(fine_impl)
+    kw = dict(tiles_x=config.tiles_x, tiles_y=config.tiles_y,
+              tile_w=config.tile_width, tile_h=config.tile_height,
+              cmd_capacity=config.cmd_capacity,
+              max_segments=config.max_segments, max_hits=config.max_hits,
+              max_candidates=config.max_candidates,
+              max_deltas=config.max_deltas,
+              output="entries" if impl == "pallas" else "dense",
+              sort_impl=("pallas" if impl == "pallas" and not interpret
+                         else "xla"))
+
+    def prefix_fn(k):
+        names = STAGE_ORDER[:k + 1]
+
+        @jax.jit
+        def run(d):
+            out = coarse_rasterize(d, with_probes=True, **kw)
+            pr = out.diag["probes"]
+            return sum(pr[n] for n in names if n in pr)
+
+        return run
+
+    results: Dict[str, float] = {}
+    prev = 0.0
+    for k, name in enumerate(STAGE_ORDER):
+        if kw["output"] != "entries" and name in ("rows", "sorted_gather"):
+            continue
+        ms = _time_pipelined(prefix_fn(k), (dev,), reps)
+        results[name] = round(ms - prev, 3)
+        prev = ms
+
+    @jax.jit
+    def coarse_full(d):
+        out = coarse_rasterize(d, **kw)
+        return jax.tree.map(lambda x: x, out[:-1])  # all arrays, no diag
+
+    results["coarse_total"] = round(_time_pipelined(coarse_full, (dev,),
+                                                    reps), 3)
+
+    if impl == "pallas":
+        entries = jax.block_until_ready(coarse_full(dev))
+        stream, first, n_entries, _, solid = entries
+        solid_u32 = jax.block_until_ready(_solid_to_present_u32(solid))
+
+        def fine_fn(f, n, s, st):
+            return fine_rasterize_entries(
+                f, n, s, st, 0, tile_h=config.tile_height,
+                tile_w=config.tile_width, tiles_x=config.tiles_x,
+                interpret=interpret)
+
+        results["fine"] = round(_time_pipelined(
+            fine_fn, (first, n_entries, solid_u32, stream), reps), 3)
+
+    render = make_render_fn(config, interpret=interpret, fine_impl=impl)
+    results["end_to_end"] = round(_time_pipelined(
+        lambda d: render(d)[0], (dev,), reps), 3)
+    return results
+
+
+def format_profile(results: Dict[str, float]) -> str:
+    lines = [f"{'stage':<16} {'ms':>8}"]
+    for k, v in results.items():
+        lines.append(f"{k:<16} {v:>8.3f}")
+    return "\n".join(lines)

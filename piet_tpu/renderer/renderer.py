@@ -99,7 +99,14 @@ def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
         tile_h=config.tile_height, cmd_capacity=config.cmd_capacity,
         max_segments=config.max_segments, max_hits=config.max_hits,
         max_candidates=config.max_candidates,
-        max_deltas=config.max_deltas, row0=row0)
+        max_deltas=config.max_deltas, row0=row0,
+        # Pallas bitonic sort only when the pipeline actually runs on a
+        # TPU (the Pallas fine path, not interpreted); lax.sort elsewhere
+        # -- jax.default_backend() is not trustworthy when the TPU plugin
+        # is registered but the session is pinned to CPU (the multichip
+        # dryrun), so the decision rides on fine_impl.
+        sort_impl=("pallas" if fine_impl == "pallas" and not interpret
+                   else "xla"))
     if fine_impl == "xla":
         # Portable path: dense (T, CAP) PTCL + pure-XLA interpreter.
         coarse = coarse_rasterize(scene, **base_kw)
