@@ -76,9 +76,11 @@ struct TileEnc {
 
   void clear_solid() { solid_color = 0; }
 
-  void line(float x0, float y0, float x1, float y1) {
+  // ycull: the emitting stroke's hw + 0.5 in arg word 4 (unused by the
+  // fine math; the TPU kernel's row-cull threshold -- see ops/fine.py).
+  void line(float x0, float y0, float x1, float y1, float ycull) {
     clear_solid();
-    push(piet::Cmd_Line, {x0, y0, x1, y1});
+    push(piet::Cmd_Line, {x0, y0, x1, y1, ycull});
   }
   void stroke(uint32_t rgba, float width) {
     clear_solid();
@@ -205,7 +207,7 @@ void poly_tile(TileEnc& enc, const std::vector<Seg>& segs, uint32_t rgba,
     const float s10 = fsign(bot + left + s.c);
     const float s11 = fsign(bot + right + s.c);
     if (s00 * s01 + s00 * s10 + s00 * s11 < 3.0f) {
-      enc.line(s.sx, s.sy, s.ex, s.ey);
+      enc.line(s.sx, s.sy, s.ex, s.ey, hw);
       any = true;
     }
   }
@@ -224,7 +226,7 @@ void line_tile(TileEnc& enc, const Seg& s, uint32_t rgba, float width,
   const float s10 = fsign(bot + left + s.c);
   const float s11 = fsign(bot + right + s.c);
   if (s00 * s01 + s00 * s10 + s00 * s11 < 3.0f) {
-    enc.line(s.sx, s.sy, s.ex, s.ey);
+    enc.line(s.sx, s.sy, s.ex, s.ey, hw);
     enc.stroke(rgba, width);
   }
 }

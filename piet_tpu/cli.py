@@ -107,6 +107,72 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_animate(args) -> int:
+    """Render an N-frame animation to PNGs: the headless analog of the
+    reference's live 60 Hz redraw loop (TestApp/PietRenderer.m:59-103,
+    ViewController.m:12-29), driven through the batched
+    ``Renderer.render_sequence`` path (one device dispatch per chunk)."""
+    import dataclasses
+    import os
+
+    from .renderer.renderer import Renderer
+    from .scene.fixtures import get_scene
+    from .utils.png import write_png
+
+    os.makedirs(args.outdir, exist_ok=True)
+    t_enc0 = time.perf_counter()
+    scenes = []
+    for i in range(args.frames):
+        t = args.t0 + i * args.dt
+        if args.scene == "animated":
+            scenes.append(get_scene("animated", t=t))
+        elif args.scene == "tiger":
+            # Breathing tiger: animate the scale around the requested one.
+            import math
+            s = (args.scale or 4.0) * (1.0 + 0.15 * math.sin(t * 2 * math.pi))
+            scenes.append(get_scene("tiger", scale=s))
+        else:
+            scenes.append(_build_scene(args))
+    encode_ms = (time.perf_counter() - t_enc0) * 1e3
+
+    # One capacity envelope covering every frame (field-wise max), so the
+    # whole sequence shares a single compiled render step.
+    cfg = _config_for(args, scenes[0])
+    for s in scenes[1:]:
+        from .renderer.capacity import fit_capacities
+        c = fit_capacities(s, cfg, bucket=True)
+        cfg = dataclasses.replace(
+            cfg,
+            max_items=max(cfg.max_items, c.max_items),
+            max_points=max(cfg.max_points, c.max_points),
+            max_segments=max(cfg.max_segments, c.max_segments),
+            max_hits=max(cfg.max_hits, c.max_hits),
+            max_candidates=max(cfg.max_candidates, c.max_candidates),
+            max_deltas=max(cfg.max_deltas, c.max_deltas),
+            cmd_capacity=max(cfg.cmd_capacity, c.cmd_capacity))
+    renderer = Renderer(cfg, fine_impl=args.fine_impl)
+
+    chunk = max(1, args.chunk)
+    t_r0 = time.perf_counter()
+    frames = []
+    for lo in range(0, len(scenes), chunk):
+        frames.append(renderer.render_sequence(scenes[lo:lo + chunk]))
+    render_ms = (time.perf_counter() - t_r0) * 1e3
+    n = 0
+    for batch in frames:
+        for img in batch:
+            write_png(os.path.join(args.outdir, f"frame_{n:04d}.png"), img)
+            n += 1
+    print(json.dumps({
+        "scene": args.scene, "frames": n,
+        "viewport": f"{cfg.width}x{cfg.height}",
+        "encode_ms_per_frame": round(encode_ms / n, 3),
+        "render_ms_per_frame": round(render_ms / n, 3),
+        "outdir": args.outdir,
+    }))
+    return 0
+
+
 def cmd_profile(args) -> int:
     """Per-stage pipeline timing on the attached backend (see
     piet_tpu/profiling.py for methodology)."""
@@ -192,6 +258,16 @@ def main(argv=None) -> int:
     b.add_argument("--reencode", action="store_true",
                    help="re-encode + re-upload the scene every frame")
     b.set_defaults(fn=cmd_bench)
+
+    a = sub.add_parser("animate", help="render an N-frame animation to PNGs")
+    scene_args(a)
+    a.add_argument("--frames", type=int, default=24)
+    a.add_argument("--t0", type=float, default=0.0)
+    a.add_argument("--dt", type=float, default=1.0 / 60.0)
+    a.add_argument("--chunk", type=int, default=8,
+                   help="frames per device dispatch")
+    a.add_argument("--outdir", default="frames")
+    a.set_defaults(fn=cmd_animate)
 
     pr = sub.add_parser("profile", help="per-stage pipeline timing (JSON)")
     scene_args(pr)

@@ -10,12 +10,15 @@ arrays with scalar operands, used by BOTH device implementations:
 
 ``bar`` is a best-effort FMA-contraction barrier: the numpy oracle
 (raster/cpu_fine.py) rounds every multiply and add separately.  On TPU,
-Mosaic and XLA:TPU do not contract mul+add chains and f32 div/sqrt are
-IEEE-exact, so both device paths are bit-identical to the oracle
-(verified on hardware; tests/test_tpu_exact.py).  On CPU, XLA's LLVM
-backend contracts at its own discretion -- neither optimization_barrier
-nor bitcast chains reliably survive to block it -- so CPU-side tests
-compare with a ~1e-5-of-pixels / <=2-code tolerance (tests/test_fine.py).
+f32 div/sqrt are IEEE correctly rounded, and at 16-row tile shapes
+Mosaic emits uncontracted mul+add, so the device paths are bit-identical
+to the oracle there (verified on hardware; tests/test_tpu_exact.py).  At
+32-row (4-vreg) shapes Mosaic contracts or reorders one mul+add
+somewhere (optimization_barrier has no Pallas TPU lowering to stop it),
+giving <=1 color code on isolated boundary pixels (<0.01%, also pinned
+by test_tpu_exact).  On CPU, XLA's LLVM backend contracts at its own
+discretion, so CPU-side tests compare with a ~1e-5-of-pixels / <=2-code
+tolerance (tests/test_fine.py).
 """
 
 from __future__ import annotations
@@ -24,10 +27,77 @@ import jax
 import jax.numpy as jnp
 
 DF_INIT = 1e9
+#: Initial SQUARED df for the Pallas kernel's deferred-sqrt accumulation;
+#: any value whose sqrt exceeds every stroke threshold gives alpha == 0.0
+#: through the saturate, identically to DF_INIT (see line_field_sq).
+DF2_INIT = 1e18
 
 
 def _saturate(v):
     return jnp.clip(v, 0.0, 1.0)
+
+
+# -- Accumulation fields, factored out of the command evaluators so the
+# Pallas entry-stream kernel can apply them directly to its scratch
+# state (and accumulate the SQUARED line field, see line_field_sq).
+
+
+def line_field_sq(arg, X, Y, bar):
+    """SQUARED distance field of CmdLine (PietRender.metal:79-97).
+
+    The Pallas kernel accumulates min over the squared field and defers
+    the sqrt to the stroke resolve: f32 sqrt is correctly rounded and
+    monotone, so sqrt(min(x)) == min(sqrt(x)) bit-exactly.
+
+    Operand word 4 (unused by the math) carries the emitting stroke's
+    hw + 0.5 threshold (a row-cull experiment; kept in the wire format)."""
+    sx, sy, ex, ey = arg(0), arg(1), arg(2), arg(3)
+    lvx, lvy = ex - sx, ey - sy
+    dpx, dpy = X - sx, Y - sy
+    denom = bar(lvx * lvx) + bar(lvy * lvy)
+    dotp = bar(lvx * dpx) + bar(lvy * dpy)
+    # Degenerate segments render as dots (t = 0); see cpu_fine.py.
+    tpar = jnp.where(denom > 0.0, _saturate(dotp / denom), 0.0)
+    fx = bar(lvx * tpar) - dpx
+    fy = bar(lvy * tpar) - dpy
+    return bar(fx * fx) + bar(fy * fy)
+
+
+def line_field(arg, X, Y, bar):
+    """Distance field of CmdLine over pixel grids (PietRender.metal:79-97)."""
+    return jnp.sqrt(line_field_sq(arg, X, Y, bar))
+
+
+def fill_delta(arg, X, Y, bar):
+    """Signed-area delta of CmdFill (mask, delta), PietRender.metal:102-117."""
+    sx, sy, ex, ey = arg(0), arg(1), arg(2), arg(3)
+    rsx, rsy = sx - X, sy - Y
+    rex, rey = ex - X, ey - Y
+    w0 = _saturate(rsy)
+    w1 = _saturate(rey)
+    mask = w0 != w1
+    dy = rey - rsy
+    t0 = (w0 - rsy) / dy
+    t1 = (w1 - rsy) / dy
+    xs0 = rsx + bar((rex - rsx) * t0)
+    xs1 = rsx + bar((rex - rsx) * t1)
+    xmin = jnp.minimum(jnp.minimum(xs0, xs1), 1.0) - 1e-6
+    xmax = jnp.maximum(xs0, xs1)
+    bq = jnp.minimum(xmax, 1.0)
+    cq = jnp.maximum(bq, 0.0)
+    dq = jnp.maximum(xmin, 0.0)
+    a_cov = (bq + bar(0.5 * (bar(dq * dq) - bar(cq * cq))) - xmin) \
+        / (xmax - xmin)
+    # Wide degenerate-column guard (near-vertical edges; see
+    # cpu_fine.py for the rationale and the reference's narrower bug).
+    a_cov = jnp.where(xmax - xmin > 1e-4, a_cov, 1.0 - _saturate(xs0))
+    return mask, bar(a_cov * (w0 - w1))
+
+
+def edge_delta(arg, Y, bar):
+    """Winding delta of CmdFillEdge (PietRender.metal:119-123)."""
+    sgn, ye = arg(0), arg(1)
+    return bar(sgn * _saturate(Y - ye + 1.0))
 
 
 def make_commands(X, Y, bar):
@@ -64,16 +134,7 @@ def make_commands(X, Y, bar):
         return r * keep, g * keep, b * keep, df, area
 
     def cmd_line(arg, r, g, b, df, area):
-        sx, sy, ex, ey = arg(0), arg(1), arg(2), arg(3)
-        lvx, lvy = ex - sx, ey - sy
-        dpx, dpy = X - sx, Y - sy
-        denom = bar(lvx * lvx) + bar(lvy * lvy)
-        dotp = bar(lvx * dpx) + bar(lvy * dpy)
-        # Degenerate segments render as dots (t = 0); see cpu_fine.py.
-        tpar = jnp.where(denom > 0.0, _saturate(dotp / denom), 0.0)
-        fx = bar(lvx * tpar) - dpx
-        fy = bar(lvy * tpar) - dpy
-        field = jnp.sqrt(bar(fx * fx) + bar(fy * fy))
+        field = line_field(arg, X, Y, bar)
         return r, g, b, jnp.minimum(df, field), area
 
     def _blend(r, g, b, fr, fg, fb, w):
@@ -91,33 +152,11 @@ def make_commands(X, Y, bar):
         return r, g, b, jnp.full_like(df, DF_INIT), area
 
     def cmd_fill(arg, r, g, b, df, area):
-        sx, sy, ex, ey = arg(0), arg(1), arg(2), arg(3)
-        rsx, rsy = sx - X, sy - Y
-        rex, rey = ex - X, ey - Y
-        w0 = _saturate(rsy)
-        w1 = _saturate(rey)
-        mask = w0 != w1
-        dy = rey - rsy
-        t0 = (w0 - rsy) / dy
-        t1 = (w1 - rsy) / dy
-        xs0 = rsx + bar((rex - rsx) * t0)
-        xs1 = rsx + bar((rex - rsx) * t1)
-        xmin = jnp.minimum(jnp.minimum(xs0, xs1), 1.0) - 1e-6
-        xmax = jnp.maximum(xs0, xs1)
-        bq = jnp.minimum(xmax, 1.0)
-        cq = jnp.maximum(bq, 0.0)
-        dq = jnp.maximum(xmin, 0.0)
-        a_cov = (bq + bar(0.5 * (bar(dq * dq) - bar(cq * cq))) - xmin) \
-            / (xmax - xmin)
-        # Wide degenerate-column guard (near-vertical edges; see
-        # cpu_fine.py for the rationale and the reference's narrower bug).
-        a_cov = jnp.where(xmax - xmin > 1e-4, a_cov, 1.0 - _saturate(xs0))
-        delta = bar(a_cov * (w0 - w1))
+        mask, delta = fill_delta(arg, X, Y, bar)
         return r, g, b, df, jnp.where(mask, area + delta, area)
 
     def cmd_fill_edge(arg, r, g, b, df, area):
-        sgn, ye = arg(0), arg(1)
-        return r, g, b, df, area + bar(sgn * _saturate(Y - ye + 1.0))
+        return r, g, b, df, area + edge_delta(arg, Y, bar)
 
     def cmd_draw_fill(arg, r, g, b, df, area):
         backdrop = arg(0)

@@ -45,17 +45,35 @@ tests/test_coarse.py.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
+from ..layout.entry_stream import (ENTRY_WORDS, META_CLEAR_BIT,
+                                   META_NCMDS_MASK, META_OPAQUE_BIT, W_BAIL,
+                                   W_META)
 from ..raster.ptcl import (ARG_WORDS, CMD_CIRCLE, CMD_DRAW_FILL, CMD_FILL,
                            CMD_FILL_EDGE, CMD_LINE, CMD_SOLID, CMD_STROKE)
 from ..scene.scene import TAG_CIRCLE, TAG_FILL, TAG_LINE, TAG_POLY
 from .sort import stable_sort_multi
 
 I32_MAX = jnp.int32(2**31 - 1)
+
+# Barriers after the expansion/gather outputs keep XLA:TPU from fusing
+# downstream elementwise work INTO the (scalar-executed) gather loops --
+# measured 7.32 -> 6.70 ms coarse at 4K tiger (ROADMAP).  Opt out with
+# PIET_DENSE_BARRIERS=0.
+_DENSE_BARRIERS = os.environ.get("PIET_DENSE_BARRIERS", "1") == "1"
+
+
+def _db(*xs):
+    """Barrier each array when the dense-barriers experiment is on."""
+    if not _DENSE_BARRIERS:
+        return xs if len(xs) > 1 else xs[0]
+    out = jax.lax.optimization_barrier(xs)
+    return out if len(xs) > 1 else out[0]
 
 
 class DeviceScene(NamedTuple):
@@ -80,10 +98,9 @@ class CoarseEntries(NamedTuple):
     with per-tile index ranges -- no per-tile capacity, no scatter.
 
     ``stream`` packs entries 128 per block for the fine kernel's DMA:
-    entry e lives at block e // 128, lane e % 128; the 16 word sublanes are
-    [slot0 tag, slot0 args 0-6, slot1 tag, slot1 args 0-4, bail color
-    (candidates), meta, pad] (slot0 = FillEdge|Line|tail command, slot1 =
-    Fill; tag 0 = empty slot).
+    entry e lives at block e // 128, lane e % 128; the ENTRY_WORDS word
+    sublanes follow the single-source word map in layout/entry_stream.py
+    (slot0 = FillEdge|Line|tail command, slot1 = Fill; tag 0 = empty slot).
     """
     stream: jax.Array       # (E/128, 16, 128) f32
     first: jax.Array        # (T,) int32 first live entry (post bail-reset)
@@ -203,7 +220,8 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     cand_counts = bw * bh
     cand_excl, cand_incl = _exclusive_cumsum(cand_counts)
     n_cand = cand_incl[-1]
-    cand_item, cand_local, cand_valid = _expand(cand_counts, max_candidates)
+    cand_item, cand_local, cand_valid = _db(
+        *_expand(cand_counts, max_candidates))
     cand_w = jnp.maximum(bw[cand_item], 1)
     cand_ty = by0[cand_item] + cand_local // cand_w
     cand_tx = bx0[cand_item] + cand_local % cand_w
@@ -222,11 +240,11 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                   jnp.where(tags == TAG_LINE, 1, 0)))
     seg_excl, seg_incl = _exclusive_cumsum(seg_counts)
     n_segs = seg_incl[-1]
-    seg_item, seg_local, seg_valid = _expand(seg_counts, max_segments)
+    seg_item, seg_local, seg_valid = _db(*_expand(seg_counts, max_segments))
     item_pack = jnp.stack(
         [tags, scene.n_pts, scene.pt_offset, cand_excl,
          bx0, by0, bx1, by1, bw], axis=1)               # (NI, 9) int32
-    sitem = item_pack[seg_item]
+    sitem = _db(item_pack[seg_item])
     s_tag = sitem[:, 0]
     s_npts = sitem[:, 1]
     s_ptoff = sitem[:, 2]
@@ -239,8 +257,8 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                     0, seg_local + 1)
     i1 = s_ptoff + nxt
     np_max = scene.points.shape[0] - 1
-    p0 = scene.points[jnp.clip(i0, 0, np_max)]
-    p1 = scene.points[jnp.clip(i1, 0, np_max)]
+    p0, p1 = _db(scene.points[jnp.clip(i0, 0, np_max)],
+                 scene.points[jnp.clip(i1, 0, np_max)])
     sx, sy = p0[:, 0], p0[:, 1]
     ex, ey = p1[:, 0], p1[:, 1]
     a = ey - sy
@@ -317,7 +335,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
 
     hit_excl, hit_incl = _exclusive_cumsum(hit_counts)
     n_hits = hit_incl[-1]
-    hit_seg, hit_local, hit_valid = _expand(hit_counts, max_hits)
+    hit_seg, hit_local, hit_valid = _db(*_expand(hit_counts, max_hits))
     stage_probe("hit_expand", hit_seg)
 
     # Per-segment attributes packed into one f32 and one i32 matrix; the
@@ -335,7 +353,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                     xmx[:, 0], xmx[:, 1], s_hw], axis=1),
          jax.lax.bitcast_convert_type(seg_i32, f32)],
         axis=1)                                          # (S, 21)
-    ha = seg_all[hit_seg]
+    ha = _db(seg_all[hit_seg])
     hf = ha[:, :12]
     hi = jax.lax.bitcast_convert_type(ha[:, 12:], jnp.int32)
     h_flags = hi[:, 0]
@@ -414,6 +432,10 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         jnp.where(stroke_emit, h_sy, y_edge))
     slot0_args = slot0_args.at[:, 2].set(jnp.where(stroke_emit, h_ex, 0))
     slot0_args = slot0_args.at[:, 3].set(jnp.where(stroke_emit, h_ey, 0))
+    # Word 4 (unused by the line math): the emitting stroke's hw + 0.5,
+    # the fine kernel's row-cull threshold (ops/fine.py footprint
+    # restriction; the oracle encoder mirrors it, raster/ptcl.py::line).
+    slot0_args = slot0_args.at[:, 4].set(jnp.where(stroke_emit, h_hw, 0))
 
     slot1_valid = fill_emit_edge | fill_emit_plain
     slot1_tag = jnp.full((max_hits,), CMD_FILL, jnp.int32)
@@ -446,8 +468,8 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                              jnp.maximum(d_y_hi - d_y_lo + 1, 0), 0)
     del_excl, del_incl = _exclusive_cumsum(delta_counts)
     n_deltas = del_incl[-1]
-    del_seg, del_local, del_valid = _expand(delta_counts, max_deltas)
-    da = seg_all[del_seg]
+    del_seg, del_local, del_valid = _db(*_expand(delta_counts, max_deltas))
+    da = _db(seg_all[del_seg])
     df32 = da[:, :12]
     di32 = jax.lax.bitcast_convert_type(da[:, 12:], jnp.int32)
     d_ty = d_y_lo[del_seg] + del_local
@@ -497,7 +519,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
          scene.clips,                                    # clip rect
          jax.lax.bitcast_convert_type(item_pack, f32)],
         axis=1)                                          # (NI, 24)
-    ca = cand_pack[cand_item]
+    ca = _db(cand_pack[cand_item])
     cf = ca[:, :15]
     ci = jax.lax.bitcast_convert_type(ca[:, 15:], jnp.int32)
     csum = jnp.cumsum(delta_scatter)
@@ -572,28 +594,35 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         # the interpreter's cheap path is the first switch branch.
         hit_tag0 = jnp.where(slot0_valid, slot0_tag, 0)
         hit_tag1 = jnp.where(slot1_valid, jnp.int32(CMD_FILL), 0)
+        # Word map: layout/entry_stream.py (the single source; pinned by
+        # tests/test_layout.py).
         hit_meta = (hit_n_cmds
-                    | (stroke_emit.astype(jnp.int32) << 3))
+                    | stroke_emit.astype(jnp.int32) * META_CLEAR_BIT)
         hit_rows = jnp.concatenate(
-            [hit_tag0.astype(f32)[:, None], slot0_args[:, :7],
-             hit_tag1.astype(f32)[:, None], slot1_args[:, :5],
-             hit_meta.astype(f32)[:, None],
-             jnp.zeros((max_hits, 1), f32)],
-            axis=1)  # (H, 16): word 13 = bail color (cands), 14 = meta
+            [hit_tag0.astype(f32)[:, None],              # W_S0_TAG
+             slot0_args[:, :7],                          # W_S0_ARG + 0..6
+             hit_tag1.astype(f32)[:, None],              # W_S1_TAG
+             slot1_args[:, :5],                          # W_S1_ARG + 0..4
+             hit_meta.astype(f32)[:, None],              # W_META
+             jnp.zeros((max_hits, 1), f32)],             # W_PAD
+            axis=1)
         cand_tag0 = jnp.where(cand_cmd_valid, cand_tag, 0)
         cand_meta = (cand_cmd_valid.astype(jnp.int32)
-                     | (is_opaque_solid.astype(jnp.int32) << 2)
-                     | (cand_is_clear.astype(jnp.int32) << 3))
+                     | is_opaque_solid.astype(jnp.int32) * META_OPAQUE_BIT
+                     | cand_is_clear.astype(jnp.int32) * META_CLEAR_BIT)
         cand_rows = jnp.concatenate(
-            [cand_tag0.astype(f32)[:, None], cand_args[:, :7],
-             jnp.zeros((max_candidates, 1), f32),        # slot-1 tag = 0
+            [cand_tag0.astype(f32)[:, None],             # W_S0_TAG
+             cand_args[:, :7],                           # W_S0_ARG + 0..6
+             jnp.zeros((max_candidates, 1), f32),        # W_S1_TAG (empty)
              cand_args[:, 8:12],                         # clip rect
              jax.lax.bitcast_convert_type(
                  jnp.where(is_opaque_solid, c_color_u32,
-                           jnp.uint32(0)), f32)[:, None],
-             cand_meta.astype(f32)[:, None],
-             jnp.zeros((max_candidates, 1), f32)],
-            axis=1)                                      # (C, 16)
+                           jnp.uint32(0)), f32)[:, None],  # W_BAIL
+             cand_meta.astype(f32)[:, None],             # W_META
+             jnp.zeros((max_candidates, 1), f32)],       # W_PAD
+            axis=1)
+        assert hit_rows.shape[1] == ENTRY_WORDS
+        assert cand_rows.shape[1] == ENTRY_WORDS
         all_rows = jnp.concatenate([hit_rows, cand_rows])
         stage_probe("rows", all_rows)
 
@@ -651,17 +680,17 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                              f32(n_tiles)).astype(jnp.int32)
     stage_probe("sort", e_tile, sorted_idx)
     if output == "entries":
-        e_rows = all_rows[sorted_idx]
+        e_rows = _db(all_rows[sorted_idx])
         stage_probe("sorted_gather", e_rows)
         # Zero dead rows FIRST (f32 select), then read meta from the
         # zeroed array -- avoids s32 selects on record-sized arrays.
         stream16 = jnp.where(live[:, None], e_rows, 0.0)
-        e_meta = stream16[:, 14].astype(jnp.int32)
-        e_ncmds = e_meta & 3
-        e_is_opaque = (e_meta & 4) != 0
+        e_meta = stream16[:, W_META].astype(jnp.int32)
+        e_ncmds = e_meta & META_NCMDS_MASK
+        e_is_opaque = (e_meta & META_OPAQUE_BIT) != 0
         # Clearing state: CmdLine clears bail (PietRender.metal:90); fill
         # coverage commands do not (:102-117); candidate clears per tag.
-        e_is_clear = (e_meta & 8) != 0
+        e_is_clear = (e_meta & META_CLEAR_BIT) != 0
     else:
         src_is_hit = sorted_idx < max_hits
         hidx = jnp.minimum(sorted_idx, max_hits - 1)
@@ -719,7 +748,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     last_opaque = jnp.where(opq_e >= 0, e_pos[best_entry], -1)
     if output == "entries":
         best_color = jax.lax.bitcast_convert_type(
-            e_rows[best_entry, 13], jnp.uint32)
+            e_rows[best_entry, W_BAIL], jnp.uint32)
     else:
         best_color = c_color_u32[cidx[best_entry]]
     solid_color = jnp.where(
@@ -738,7 +767,8 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         # tile gets an index range -- no scatter at all (the dense path's
         # two row scatters are ~30 ms at 128k records).  Dead entries
         # carry tag 0 rows by construction.
-        stream = stream16.reshape(E // 128, 128, 16).transpose(0, 2, 1)
+        stream = (stream16.reshape(E // 128, 128, ENTRY_WORDS)
+                  .transpose(0, 2, 1))
         # Per-tile live range: the dense path's start/count logic, in
         # entry units.  The stream reset at an opaque solid keeps entries
         # from best_entry on (TileEncoder cursor reset,

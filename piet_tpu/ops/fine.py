@@ -40,8 +40,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..raster.ptcl import ARG_WORDS
-from .cmd_math import DF_INIT, make_commands, pack_rgba8
+from ..layout.entry_stream import (ENTRY_WORDS, W_S0_ARG, W_S0_TAG, W_S1_ARG,
+                                   W_S1_TAG)
+from ..raster.ptcl import (ARG_WORDS, CMD_CIRCLE, CMD_DRAW_FILL,
+                           CMD_FILL_EDGE, CMD_LINE, CMD_SOLID, CMD_STROKE)
+from .cmd_math import (DF2_INIT, DF_INIT, edge_delta, fill_delta,
+                       line_field_sq, make_commands, pack_rgba8)
 
 # Commands DMA'd per double-buffer slot: 128 tags (512 B) + 128xARG_WORDS
 # f32 operands -- small enough for SMEM, and chunk boundaries stay
@@ -56,7 +60,13 @@ def _fine_kernel(counts_ref, row0_ref, cmds_hbm, out_ref, cmds_s, sems, *,
         bar = jax.lax.optimization_barrier  # best-effort (see cmd_math.py)
     else:
         def bar(x):
-            return x  # Mosaic does not contract mul+add (verified vs oracle)
+            # Mosaic: identity (optimization_barrier has no TPU lowering).
+            # At 16-row tiles the kernel is bit-exact vs the oracle; at
+            # 32-row (4-vreg) shapes Mosaic's codegen contracts or
+            # reorders a mul+add somewhere, giving <=1 color code on
+            # isolated boundary pixels (measured: 2 px / 65536 on the
+            # round-1 kernel too -- pre-existing, see test_tpu_exact).
+            return x
 
     t = pl.program_id(0)
     n = counts_ref[t]
@@ -207,13 +217,20 @@ SC_ENTRIES = SC_BLOCKS * 128
 
 
 def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
-                         out_ref, cmds_s, sems, *, tile_h: int, tile_w: int,
-                         tiles_x: int, direct: bool, interpret: bool):
+                         out_ref, cmds_s, df_s, area_s, sems, *, tile_h: int,
+                         tile_w: int, tiles_x: int, direct: bool,
+                         interpret: bool):
     if interpret:
         bar = jax.lax.optimization_barrier  # best-effort (see cmd_math.py)
     else:
         def bar(x):
-            return x  # Mosaic does not contract mul+add (verified vs oracle)
+            # Mosaic: identity (optimization_barrier has no TPU lowering).
+            # At 16-row tiles the kernel is bit-exact vs the oracle; at
+            # 32-row (4-vreg) shapes Mosaic's codegen contracts or
+            # reorders a mul+add somewhere, giving <=1 color code on
+            # isolated boundary pixels (measured: 2 px / 65536 on the
+            # round-1 kernel too -- pre-existing, see test_tpu_exact).
+            return x
 
     t = pl.program_id(0)
     fe = first_ref[t]
@@ -274,13 +291,20 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
         chunk_dma(0, 1).start()
 
     cmds = make_commands(X, Y, bar)
+    shp = (tile_h, tile_w)
 
-    def lift(cmd, slot, word_base):
-        def branch(blk, lane, r, g, b, df, area):
-            def arg(k):
-                return cmds_s[slot, blk, word_base + 1 + k, lane]
-            return cmd(arg, r, g, b, df, area)
-        return branch
+    # ---- state in VMEM scratch -----------------------------------------
+    # df/area live in VMEM scratch refs; only r,g,b ride the loop carry.
+    # (A 16-row WINDOWED accumulation variant was built and measured
+    # SLOWER: the per-entry cond+switch picking the window costs more on
+    # Mosaic (~30-50 ns per branch) than the saved vector work -- see
+    # ROADMAP's dead-end ledger.  Accumulation is full-tile with
+    # straight-line predicated blocks.)
+    #
+    # The df state holds the SQUARED line field: min and a correctly
+    # rounded monotone sqrt commute (min(sqrt(x)) == sqrt(min(x)) in f32),
+    # so deferring the sqrt from every CmdLine to the one CmdStroke
+    # resolve is bit-exact and saves a (tile_h, tile_w) sqrt per segment.
 
     def chunk_body(ci, st):
         slot = jnp.where(ci == 0, pslot, jax.lax.rem(ci - 1, 2))
@@ -293,33 +317,75 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
         def _():
             chunk_dma(slot, ci).wait()
 
-        def noop(blk, lane, r, g, b, df, area):
-            return r, g, b, df, area
-
-        # Slot 0 can be any command; tag 0 = empty.  Branch index =
-        # tag - 1 clamped (tag 1 = Cmd_End never appears in the stream).
-        slot0_branches = (noop,) + tuple(lift(c, slot, 0) for c in cmds)
-        fill_branch = lift(cmds[2], slot, 8)
-
         def entry_body(j, st):
-            r, g, b, df, area = st
+            r, g, b = st
             blk = j // 128
             lane = jax.lax.rem(j, 128)
-            tag0 = cmds_s[slot, blk, 0, lane].astype(jnp.int32)
-            idx0 = jnp.clip(tag0 - 1, 0, 7)
-            st = jax.lax.switch(idx0, slot0_branches, blk, lane, r, g, b,
-                                df, area)
-            r, g, b, df, area = st
-            # Slot 1 is only ever CmdFill (tag 0 = empty).
-            tag1 = cmds_s[slot, blk, 8, lane]
-            return jax.lax.cond(tag1 > 0.0, fill_branch, noop, blk, lane,
-                                r, g, b, df, area)
+
+            def s0arg(k):
+                return cmds_s[slot, blk, W_S0_ARG + k, lane]
+
+            def s1arg(k):
+                return cmds_s[slot, blk, W_S1_ARG + k, lane]
+
+            tag0 = cmds_s[slot, blk, W_S0_TAG, lane].astype(jnp.int32)
+
+            # -- Line: squared-df min-accumulation -----------------------
+            @pl.when(tag0 == CMD_LINE)
+            def _():
+                df_s[:] = jnp.minimum(df_s[:],
+                                      line_field_sq(s0arg, X, Y, bar))
+
+            # -- FillEdge: winding delta ---------------------------------
+            @pl.when(tag0 == CMD_FILL_EDGE)
+            def _():
+                area_s[:] = area_s[:] + edge_delta(s0arg, Y, bar)
+
+            # -- Fill (slot 1): signed-area delta ------------------------
+            @pl.when(cmds_s[slot, blk, W_S1_TAG, lane] > 0.0)
+            def _():
+                mask, delta = fill_delta(s1arg, X, Y, bar)
+                area_s[:] = jnp.where(mask, area_s[:] + delta, area_s[:])
+
+            # -- resolve commands (sequential blend) ---------------------
+            is_res = ((tag0 == CMD_CIRCLE) | (tag0 == CMD_STROKE)
+                      | (tag0 == CMD_DRAW_FILL) | (tag0 == CMD_SOLID))
+
+            def resolve():
+                area = area_s[:]
+                idx = ((tag0 == CMD_STROKE) * 1
+                       + (tag0 == CMD_DRAW_FILL) * 2
+                       + (tag0 == CMD_SOLID) * 3)
+
+                def stroke_branch():
+                    # Un-square the accumulated field (exact; see above).
+                    df = jnp.sqrt(df_s[:])
+                    r2, g2, b2, _, area2 = cmds[3](s0arg, r, g, b, df,
+                                                   area)
+                    return (r2, g2, b2,
+                            jnp.full(shp, DF2_INIT, jnp.float32), area2)
+
+                def passthrough(c):
+                    def f():
+                        r2, g2, b2, _, area2 = c(s0arg, r, g, b, df_s[:],
+                                                 area)
+                        return r2, g2, b2, df_s[:], area2
+                    return f
+
+                # make_commands order: circle, line, fill, stroke,
+                # fill_edge, draw_fill, solid.
+                r2, g2, b2, df2, area2 = jax.lax.switch(
+                    idx, [passthrough(cmds[0]), stroke_branch,
+                          passthrough(cmds[5]), passthrough(cmds[6])])
+                df_s[:] = df2
+                area_s[:] = area2
+                return r2, g2, b2
+
+            return jax.lax.cond(is_res, resolve, lambda: (r, g, b))
 
         lo = jnp.where(ci == 0, skip, 0)
         hi = jnp.minimum(total - ci * SC_ENTRIES, SC_ENTRIES)
         return jax.lax.fori_loop(lo, hi, entry_body, st)
-
-    shp = (tile_h, tile_w)
 
     def write(px):
         if direct:
@@ -337,11 +403,11 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
 
     @pl.when(n > 0)
     def _():
+        df_s[:] = jnp.full(shp, DF2_INIT, jnp.float32)
+        area_s[:] = jnp.zeros(shp, jnp.float32)
         state0 = (jnp.ones(shp, jnp.float32), jnp.ones(shp, jnp.float32),
-                  jnp.ones(shp, jnp.float32),
-                  jnp.full(shp, DF_INIT, jnp.float32),
-                  jnp.zeros(shp, jnp.float32))
-        r, g, b, _, _ = jax.lax.fori_loop(0, n_chunks, chunk_body, state0)
+                  jnp.ones(shp, jnp.float32))
+        r, g, b = jax.lax.fori_loop(0, n_chunks, chunk_body, state0)
         write(pack_rgba8(r, g, b, bar))
 
 
@@ -392,7 +458,9 @@ def fine_rasterize_entries(first: jax.Array, n_entries: jax.Array,
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.SMEM((4, SC_BLOCKS, 16, 128), jnp.float32),
+            pltpu.SMEM((4, SC_BLOCKS, ENTRY_WORDS, 128), jnp.float32),
+            pltpu.VMEM((tile_h, tile_w), jnp.float32),   # df
+            pltpu.VMEM((tile_h, tile_w), jnp.float32),   # area
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )

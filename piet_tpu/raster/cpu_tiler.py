@@ -143,7 +143,8 @@ def _poly_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int, width: F,
     keep = bcull & (s00 * s01 + s00 * s10 + s00 * s11 < F(3.0))
     any_stroke = False
     for k in np.nonzero(keep)[0]:
-        enc.line(s.start[k, 0], s.start[k, 1], s.end[k, 0], s.end[k, 1])
+        enc.line(s.start[k, 0], s.start[k, 1], s.end[k, 0], s.end[k, 1],
+                 ycull=hw)
         any_stroke = True
     if any_stroke:
         enc.stroke(color, width, clip=clip)
@@ -162,7 +163,8 @@ def _line_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int, width: F,
     s10 = np.sign(bot + left + seg.c)
     s11 = np.sign(bot + right + seg.c)
     if (s00 * s01 + s00 * s10 + s00 * s11 < F(3.0))[0]:
-        enc.line(seg.start[0, 0], seg.start[0, 1], seg.end[0, 0], seg.end[0, 1])
+        enc.line(seg.start[0, 0], seg.start[0, 1], seg.end[0, 0],
+                 seg.end[0, 1], ycull=hw)
         enc.stroke(color, width, clip=clip)
 
 

@@ -116,9 +116,14 @@ class TileCmdEncoder:
         self._push(CMD_CIRCLE, [float(v) for v in bbox] + [0.0] * 4
                    + [float(v) for v in clip])
 
-    def line(self, x0: float, y0: float, x1: float, y1: float) -> None:
+    def line(self, x0: float, y0: float, x1: float, y1: float,
+             ycull: float = 0.0) -> None:
+        """``ycull``: the emitting stroke's hw + 0.5 in arg word 4 --
+        unused by the fine math, consumed by the Pallas kernel's row cull
+        (ops/fine.py footprint restriction)."""
         self.solid_color = 0
-        self._push(CMD_LINE, [float(x0), float(y0), float(x1), float(y1)])
+        self._push(CMD_LINE, [float(x0), float(y0), float(x1), float(y1),
+                              float(ycull)])
 
     def stroke(self, rgba: int, width: float, clip=NO_CLIP) -> None:
         self.solid_color = 0

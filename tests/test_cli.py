@@ -40,3 +40,16 @@ def test_cli_render_writes_png(tmp_path):
 
 def test_cli_info():
     assert main(["info"]) == 0
+
+
+def test_cli_animate_writes_frames(tmp_path):
+    outdir = str(tmp_path / "frames")
+    rc = main(["animate", "--scene", "animated", "--frames", "3",
+               "--chunk", "2", "--width", "256", "--height", "256",
+               "--fine-impl", "xla", "--outdir", outdir])
+    assert rc == 0
+    imgs = [read_png(os.path.join(outdir, f"frame_{i:04d}.png"))
+            for i in range(3)]
+    assert all(im.shape == (256, 256, 4) for im in imgs)
+    # Frames at different t must actually differ (it IS an animation).
+    assert not np.array_equal(imgs[0], imgs[2])

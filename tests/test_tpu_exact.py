@@ -72,3 +72,39 @@ def test_full_renderer_bit_exact_on_tpu():
         img = Renderer(cfg, fine_impl="pallas").render(scene)
     gold = cpu_render_scene(scene, cfg)
     np.testing.assert_array_equal(img, gold)
+
+
+def test_full_renderer_bit_exact_on_tpu_32row_tiles():
+    """Production tile geometry (32x128): exercises kernel paths that
+    16-row tiles cannot (4-vreg state arrays; the round-2 compile crash
+    lived only here).
+
+    cmd_capacity sizes the ORACLE's per-tile lists (the entry stream has
+    no per-tile capacity); 32-row tiles hold ~2x the commands, so it must
+    be large enough that the oracle itself does not truncate.
+
+    Tolerance note: at (32, 128) shapes Mosaic's codegen contracts or
+    reorders one mul+add somewhere in the command math (measured on the
+    ROUND-1 kernel as well -- pre-existing, not a regression), producing
+    <=1 color code on isolated boundary pixels (2 px / 65536 here).
+    16-row tiles are bit-exact (the two tests above).  This test pins the
+    32-row contract: <=1 code, <0.01% of pixels."""
+    import numpy as np
+
+    from piet_tpu.config import RenderConfig
+    from piet_tpu.raster.cpu_fine import cpu_render_scene
+    from piet_tpu.renderer.renderer import Renderer
+    from piet_tpu.scene.svg import make_tiger
+
+    cfg = RenderConfig(width=256, height=256, tile_height=32, tile_width=128,
+                       cmd_capacity=4096, max_items=512, max_points=1 << 15,
+                       max_segments=1 << 15, max_hits=1 << 17,
+                       max_candidates=1 << 14, max_deltas=1 << 15)
+    scene = make_tiger(scale=1.2)
+    with jax.default_device(jax.devices("tpu")[0]):
+        img = Renderer(cfg, fine_impl="pallas").render(scene)
+    gold = cpu_render_scene(scene, cfg)
+    diff = np.abs(img.astype(int) - gold.astype(int))
+    assert diff.max() <= 1, f"max code diff {diff.max()}"
+    frac = (diff.max(axis=-1) > 0).mean()
+    assert frac < 1e-4, f"{frac:.2%} of pixels differ"
