@@ -292,9 +292,10 @@ void render_pixel(const std::vector<Cmd>& cmds, float X, float Y,
         }
         break;
       }
-      case piet::Cmd_FillEdge:
+      case piet::Cmd_FillEdge: {
         area += c.a[0] * saturate(Y - c.a[1] + 1.0f);
         break;
+      }
       case piet::Cmd_DrawFill: {
         const float x = area + c.a[0];
         // a[5] selects the fill rule: 0 = nonzero winding, 1 = even-odd

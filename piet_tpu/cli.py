@@ -203,7 +203,8 @@ def cmd_goldens(args) -> int:
     os.makedirs(args.outdir, exist_ok=True)
     # 512^2: the scalar CPU oracle is O(tiles x items) in Python; this
     # keeps a full golden sweep under a minute.
-    names = ["path_test", "cardioid", "circles_rects", "glyph_page"]
+    names = ["path_test", "cardioid", "circles_rects", "glyph_page",
+             "clip_star"]
     worst = 0
     for name in names:
         scene = get_scene(name)

@@ -37,6 +37,24 @@ def _saturate(v):
     return jnp.clip(v, 0.0, 1.0)
 
 
+# NOTE on winding-delta QUANTIZATION (tried in round 2, REVERTED):
+# rounding fill/edge deltas to multiples of 2^-13 makes f32 area
+# accumulation exact and hence order-free -- an attractive contract for
+# batched/tree-combined entry interpretation.  It is NOT achievable
+# bit-exactly on TPU: Mosaic lowers f32 division to multiply-by-
+# reciprocal whose reciprocal is NOT correctly rounded (measured:
+# num == den bitwise can divide to 0x3f7fffff; `a / b` equals
+# `a * rcp(b)` exactly, with rcp off-by-one-ulp on ~24% of inputs vs
+# IEEE), so a_cov/t0/t1 carry +-1 ulp of device-vs-oracle noise.  Any
+# rounding boundary AMPLIFIES that noise to a visible quantum (measured
+# 308/180k pixels off by one code at 16-row tiles).  Unquantized, the
+# same noise stays ~1e-7 in coverage and vanishes in the 8-bit output
+# (round-1 bit-exactness, re-verified).  Future reordering designs must
+# instead fix an explicit accumulation-tree order in the oracle and
+# replicate it on device -- agreement needs a SHARED order, not an
+# order-free one.
+
+
 # -- Accumulation fields, factored out of the command evaluators so the
 # Pallas entry-stream kernel can apply them directly to its scratch
 # state (and accumulate the SQUARED line field, see line_field_sq).
@@ -100,7 +118,15 @@ def edge_delta(arg, Y, bar):
     return bar(sgn * _saturate(Y - ye + 1.0))
 
 
-def make_commands(X, Y, bar):
+def clip_alpha(x, even_odd, bar):
+    """Winding -> coverage (the DrawFill alpha formula, also used by
+    BeginClip): nonzero rule min(|x|, 1) or even-odd |x - 2 round(x/2)|."""
+    eo = jnp.abs(x - 2.0 * jnp.round(0.5 * x))
+    nz = jnp.minimum(jnp.abs(x), 1.0)
+    return jnp.where(even_odd != 0.0, eo, nz)
+
+
+def make_commands(X, Y, bar, cov=None):
     """Build the 7 command evaluators over pixel grids X, Y.
 
     Each takes ``(arg, r, g, b, df, area)`` where ``arg(k)`` returns scalar
@@ -111,7 +137,15 @@ def make_commands(X, Y, bar):
     (piet clip extension); the NO_CLIP default makes the coverage multiply
     an exact *1.0, so unclipped scenes are bit-identical to the reference
     semantics.
+
+    ``cov``: optional thunk returning the current clip-STACK coverage
+    plane (the arbitrary-path clip extension); every draw's alpha is
+    multiplied by it.  When the plane is all-1.0 (no open clip) the
+    multiply is an exact bitwise no-op.  None = no clip stacks (1.0).
     """
+    if cov is None:
+        def cov():
+            return jnp.float32(1.0)
 
     def clip_cov(arg):
         cx0, cy0, cx1, cy1 = arg(8), arg(9), arg(10), arg(11)
@@ -127,7 +161,7 @@ def make_commands(X, Y, bar):
         dy = Y - cy
         rad = jnp.sqrt(bar(dx * dx) + bar(dy * dy))
         circle_r = jnp.minimum(cx - bx0, cy - by0)
-        alpha = _saturate(circle_r - rad) * clip_cov(arg)
+        alpha = _saturate(circle_r - rad) * clip_cov(arg) * cov()
         # Blend toward black: color is never encoded for circles
         # (PietRender.metal:488-492).
         keep = 1.0 - alpha
@@ -146,7 +180,7 @@ def make_commands(X, Y, bar):
     def cmd_stroke(arg, r, g, b, df, area):
         half_width = arg(0)
         fr, fg, fb, fa = arg(1), arg(2), arg(3), arg(4)
-        alpha = _saturate(half_width + 0.5 - df) * clip_cov(arg)
+        alpha = _saturate(half_width + 0.5 - df) * clip_cov(arg) * cov()
         w = bar(fa * alpha)
         r, g, b = _blend(r, g, b, fr, fg, fb, w)
         return r, g, b, jnp.full_like(df, DF_INIT), area
@@ -166,16 +200,15 @@ def make_commands(X, Y, bar):
         # behavior), 1 = even-odd (piet FillRule::EvenOdd; the reference
         # has only the comment formula, PietRender.metal:543).  2*round(x/2)
         # is exact in f32, so the even-odd branch is FMA-immune.
-        eo = jnp.abs(x - 2.0 * jnp.round(0.5 * x))
-        nz = jnp.minimum(jnp.abs(x), 1.0)
-        alpha = jnp.where(arg(5) != 0.0, eo, nz) * clip_cov(arg)
+        alpha = clip_alpha(x, arg(5), bar) * clip_cov(arg) * cov()
         w = bar(fa * alpha)
         r, g, b = _blend(r, g, b, fr, fg, fb, w)
         return r, g, b, df, jnp.zeros_like(area)
 
     def cmd_solid(arg, r, g, b, df, area):
         fr, fg, fb, fa = arg(0), arg(1), arg(2), arg(3)
-        r, g, b = _blend(r, g, b, fr, fg, fb, fa * clip_cov(arg))
+        r, g, b = _blend(r, g, b, fr, fg, fb,
+                         fa * (clip_cov(arg) * cov()))
         return r, g, b, df, area
 
     return (cmd_circle, cmd_line, cmd_fill, cmd_stroke, cmd_fill_edge,

@@ -56,7 +56,11 @@ from ..layout.entry_stream import (ENTRY_WORDS, META_CLEAR_BIT,
                                    W_META)
 from ..raster.ptcl import (ARG_WORDS, CMD_CIRCLE, CMD_DRAW_FILL, CMD_FILL,
                            CMD_FILL_EDGE, CMD_LINE, CMD_SOLID, CMD_STROKE)
-from ..scene.scene import TAG_CIRCLE, TAG_FILL, TAG_LINE, TAG_POLY
+from ..raster.ptcl import (CMD_BEGIN_CLIP, CMD_BEGIN_LAYER, CMD_END_CLIP,
+                           CMD_END_LAYER)
+from ..scene.scene import (FLAG_IN_GROUP, FLAG_POP_LAYER, TAG_CIRCLE,
+                           TAG_CLIP, TAG_FILL, TAG_LAYER, TAG_LINE, TAG_POLY,
+                           TAG_POP)
 from .sort import stable_sort_multi
 
 I32_MAX = jnp.int32(2**31 - 1)
@@ -129,21 +133,34 @@ def _expand(counts: jax.Array, cap: int) -> Tuple[jax.Array, jax.Array, jax.Arra
     out consecutively; returns (src_index, local_index, valid) for ``cap``
     output slots.
 
-    Implemented as scatter-max of source ids at their start offsets + a
-    cumulative max: sources partition [0, total), so the owner of slot p is
-    the largest-id nonempty source whose start is <= p.  This replaces the
-    classic searchsorted formulation, whose binary-search while-loop costs
-    ~18 ms per 128k queries on TPU vs ~1 ms for scatter+cummax (measured).
+    Two formulations, chosen by source count:
+
+    * N small (items): compare-count.  Sources are laid out consecutively,
+      so the owner of slot p is exactly #{i : incl[i] <= p} (empty sources
+      before the owner are counted by the prefix, sources at or after it
+      are not).  The (cap, N) compare-reduce is dense VPU work -- measured
+      2.2x faster than scatter+cummax at N=2048 (0.69 vs 1.49 ms at
+      cap=64k) -- but O(N * cap), so only for small N.
+    * N large (segments): scatter-max of source ids at their start
+      offsets + a cumulative max.  This replaces the classic searchsorted
+      formulation, whose binary-search while-loop costs ~18 ms per 128k
+      queries on TPU vs ~1.5 ms for scatter+cummax (measured; the
+      compare-count at N=64k is 17 ms).
     """
     N = counts.shape[0]
     excl, incl = _exclusive_cumsum(counts)
     total = incl[-1] if counts.size else jnp.int32(0)
-    ids = jnp.arange(N, dtype=jnp.int32)
-    starts = jnp.where(counts > 0, excl, cap)
-    seed = jnp.zeros((cap,), jnp.int32).at[starts].max(ids, mode="drop")
-    src = jax.lax.cummax(seed)
     idx = jnp.arange(cap, dtype=jnp.int32)
     valid = idx < total
+    if N <= 4096:
+        src = jnp.sum((incl[None, :] <= idx[:, None]).astype(jnp.int32),
+                      axis=1)
+        src = jnp.minimum(src, N - 1)
+    else:
+        ids = jnp.arange(N, dtype=jnp.int32)
+        starts = jnp.where(counts > 0, excl, cap)
+        seed = jnp.zeros((cap,), jnp.int32).at[starts].max(ids, mode="drop")
+        src = jax.lax.cummax(seed)
     local = idx - excl[src]
     return src, local, valid
 
@@ -234,8 +251,9 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     # matrix so expansion costs ONE row gather (TPU gathers price per
     # gather op, not per byte: 15 separate 1-D gathers at 128k indices cost
     # ~30 ms; one packed row gather ~2 ms -- measured).
+    is_fill_item = (tags == TAG_FILL) | (tags == TAG_CLIP)
     seg_counts = jnp.where(
-        tags == TAG_FILL, scene.n_pts,
+        is_fill_item, scene.n_pts,
         jnp.where(tags == TAG_POLY, jnp.maximum(scene.n_pts - 1, 0),
                   jnp.where(tags == TAG_LINE, 1, 0)))
     seg_excl, seg_incl = _exclusive_cumsum(seg_counts)
@@ -253,7 +271,8 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                                         sitem[:, 6], sitem[:, 7],
                                         sitem[:, 8])
     i0 = s_ptoff + seg_local
-    nxt = jnp.where((s_tag == TAG_FILL) & (seg_local + 1 == s_npts),
+    s_is_fill_tag = (s_tag == TAG_FILL) | (s_tag == TAG_CLIP)
+    nxt = jnp.where(s_is_fill_tag & (seg_local + 1 == s_npts),
                     0, seg_local + 1)
     i1 = s_ptoff + nxt
     np_max = scene.points.shape[0] - 1
@@ -267,7 +286,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     xmn = jnp.minimum(p0, p1)
     xmx = jnp.maximum(p0, p1)
     s_hw = f32(0.5) * scene.widths[seg_item] + f32(0.5)
-    is_fill_seg = seg_valid & (s_tag == TAG_FILL)
+    is_fill_seg = seg_valid & s_is_fill_tag
     is_stroke_seg = seg_valid & ((s_tag == TAG_POLY) | (s_tag == TAG_LINE))
     stage_probe("seg_derive", a, b, c)
 
@@ -515,7 +534,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         [scene.colors_lin, scene.bboxes.astype(f32),
          (f32(0.5) * scene.widths)[:, None],
          jax.lax.bitcast_convert_type(scene.colors_u32, f32)[:, None],
-         (scene.flags & 1).astype(f32)[:, None],         # even-odd rule
+         scene.flags.astype(f32)[:, None],               # item flag bits
          scene.clips,                                    # clip rect
          jax.lax.bitcast_convert_type(item_pack, f32)],
         axis=1)                                          # (NI, 24)
@@ -537,17 +556,37 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     c_any = cand_emit > 0
     c_backdrop_nz = backdrop != 0.0
 
+    cflags = cf[:, 10].astype(jnp.int32)
+    c_even_odd = (cflags & 1).astype(f32)
+    c_ingroup = (cflags & FLAG_IN_GROUP) != 0
+
     is_circle = cand_valid & (c_tag_item == TAG_CIRCLE)
     is_drawfill = cand_valid & (c_tag_item == TAG_FILL) & c_any
     is_solid = cand_valid & (c_tag_item == TAG_FILL) & ~c_any & c_backdrop_nz
     is_stroke = cand_valid & ((c_tag_item == TAG_POLY)
                               | (c_tag_item == TAG_LINE)) & c_any
+    # Clip / layer group commands (extension): emitted in EVERY candidate
+    # tile -- outside the clip path the coverage must still become 0, and
+    # push/pop nesting must be consistent across all tiles.
+    is_clip = cand_valid & (c_tag_item == TAG_CLIP)
+    is_layer = cand_valid & (c_tag_item == TAG_LAYER)
+    is_pop = cand_valid & (c_tag_item == TAG_POP)
+    pop_layer = is_pop & ((cflags & FLAG_POP_LAYER) != 0)
+    is_group_cmd = is_clip | is_layer | is_pop
 
-    cand_cmd_valid = is_circle | is_drawfill | is_solid | is_stroke
+    cand_cmd_valid = (is_circle | is_drawfill | is_solid | is_stroke
+                      | is_group_cmd)
     cand_tag = jnp.where(
         is_circle, CMD_CIRCLE,
         jnp.where(is_drawfill, CMD_DRAW_FILL,
-                  jnp.where(is_solid, CMD_SOLID, CMD_STROKE)))
+                  jnp.where(is_solid, CMD_SOLID,
+                            jnp.where(is_clip, CMD_BEGIN_CLIP,
+                                      jnp.where(is_layer, CMD_BEGIN_LAYER,
+                                                jnp.where(pop_layer,
+                                                          CMD_END_LAYER,
+                                                          jnp.where(is_pop,
+                                                                    CMD_END_CLIP,
+                                                                    CMD_STROKE)))))))
     cbb = cf[:, 4:8]
     chw = cf[:, 8]
     cand_args = jnp.zeros((max_candidates, ARG_WORDS), f32)
@@ -563,27 +602,40 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     a4 = jnp.where(is_solid | is_circle, 0.0, c_color_lin[:, 3])
     # DrawFill word 5: even-odd fill-rule flag (0/1) -- API extension, see
     # scene/scene.py::FLAG_EVEN_ODD.
-    a5 = jnp.where(is_drawfill, cf[:, 10], 0.0)
+    a5 = jnp.where(is_drawfill, c_even_odd, 0.0)
+    # Group-command operands: BeginClip [backdrop, even_odd]; EndLayer
+    # [alpha] (the layer's alpha = 2 * (0.5*width) -- exact in f32).
+    a0 = jnp.where(is_clip, backdrop,
+                   jnp.where(pop_layer, f32(2.0) * chw,
+                             jnp.where(is_layer | is_pop, 0.0, a0)))
+    a1 = jnp.where(is_clip, c_even_odd,
+                   jnp.where(is_layer | is_pop, 0.0, a1))
+    a2 = jnp.where(is_group_cmd, 0.0, a2)
+    a3 = jnp.where(is_group_cmd, 0.0, a3)
+    a4 = jnp.where(is_group_cmd, 0.0, a4)
     cand_args = cand_args.at[:, 0].set(a0)
     cand_args = cand_args.at[:, 1].set(a1)
     cand_args = cand_args.at[:, 2].set(a2)
     cand_args = cand_args.at[:, 3].set(a3)
     cand_args = cand_args.at[:, 4].set(a4)
     cand_args = cand_args.at[:, 5].set(a5)
-    # Draw-command clip rect (words 8-11; piet clip extension) -- every
-    # candidate tail command is a draw.
-    cand_args = cand_args.at[:, 8:12].set(cf[:, 11:15])
+    # Draw-command clip rect (words 8-11; piet clip extension).  Group
+    # commands carry no rect (the oracle zero-pads their args).
+    cand_args = cand_args.at[:, 8:12].set(
+        jnp.where(is_group_cmd[:, None], 0.0, cf[:, 11:15]))
 
     # A clipped solid cannot bail the tile (the clip may not cover it);
     # must match the oracle's predicate exactly (raster/ptcl.py::solid).
     c_uncl = ((cf[:, 11] == f32(-1e9)) & (cf[:, 12] == f32(-1e9))
               & (cf[:, 13] == f32(1e9)) & (cf[:, 14] == f32(1e9)))
-    is_opaque_solid = is_solid & ((c_color_u32 & 0xFF) == 0xFF) & c_uncl
+    is_opaque_solid = (is_solid & ((c_color_u32 & 0xFF) == 0xFF) & c_uncl
+                       & ~c_ingroup)
     # Clearing commands (reset the bail state): Circle, Line, Stroke,
-    # DrawFill (TileEncoder, PietRender.metal:81,90,99,124) -- and clipped
-    # solids, which are partial draws (raster/ptcl.py::solid).
+    # DrawFill (TileEncoder, PietRender.metal:81,90,99,124) -- clipped or
+    # in-group solids (partial draws, raster/ptcl.py::solid), and all
+    # clip/layer group commands.
     cand_is_clear = (is_circle | is_drawfill | is_stroke
-                     | (is_solid & ~c_uncl))
+                     | (is_solid & ~(c_uncl & ~c_ingroup)) | is_group_cmd)
 
     # ---- pre-sort row assembly (entries output) -----------------------
     # The post-sort side then needs only TWO gathers (rows, meta) instead

@@ -42,9 +42,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..layout.entry_stream import (ENTRY_WORDS, W_S0_ARG, W_S0_TAG, W_S1_ARG,
                                    W_S1_TAG)
-from ..raster.ptcl import (ARG_WORDS, CMD_CIRCLE, CMD_DRAW_FILL,
-                           CMD_FILL_EDGE, CMD_LINE, CMD_SOLID, CMD_STROKE)
-from .cmd_math import (DF2_INIT, DF_INIT, edge_delta, fill_delta,
+from ..raster.ptcl import (ARG_WORDS, CMD_BEGIN_CLIP, CMD_BEGIN_LAYER,
+                           CMD_CIRCLE, CMD_DRAW_FILL, CMD_END_CLIP,
+                           CMD_END_LAYER, CMD_FILL_EDGE, CMD_LINE, CMD_SOLID,
+                           CMD_STROKE)
+from ..scene.scene import MAX_GROUP_DEPTH
+from .cmd_math import (DF2_INIT, DF_INIT, clip_alpha, edge_delta, fill_delta,
                        line_field_sq, make_commands, pack_rgba8)
 
 # Commands DMA'd per double-buffer slot: 128 tags (512 B) + 128xARG_WORDS
@@ -106,7 +109,14 @@ def _fine_kernel(counts_ref, row0_ref, cmds_hbm, out_ref, cmds_s, sems, *,
             return cmd(arg, r, g, b, df, area)
         return branch
 
-    ordered = tuple(lift(c) for c in make_commands(X, Y, bar))
+    def noop(slot, j, r, g, b, df, area):
+        return r, g, b, df, area
+
+    # Tags >= 9 (Bail + the clip/layer group extension) are no-ops here:
+    # the DENSE path does not implement group stacks (the entry-stream
+    # kernel and ops/fine_xla.py do; the renderer's pallas path uses the
+    # entry stream).
+    ordered = tuple(lift(c) for c in make_commands(X, Y, bar)) + (noop,)
 
     def chunk_body(ci, state):
         slot = jax.lax.rem(ci, 2)
@@ -122,7 +132,7 @@ def _fine_kernel(counts_ref, row0_ref, cmds_hbm, out_ref, cmds_s, sems, *,
         def cmd_body(j, st):
             r, g, b, df, area = st
             tag = cmds_s[slot, 0, j].astype(jnp.int32)
-            idx = jnp.clip(tag - 2, 0, 6)
+            idx = jnp.clip(tag - 2, 0, 7)
             return jax.lax.switch(idx, ordered, slot, j, r, g, b, df, area)
 
         return jax.lax.fori_loop(0, live, cmd_body, state)
@@ -217,9 +227,10 @@ SC_ENTRIES = SC_BLOCKS * 128
 
 
 def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
-                         out_ref, cmds_s, df_s, area_s, sems, *, tile_h: int,
-                         tile_w: int, tiles_x: int, direct: bool,
-                         interpret: bool):
+                         out_ref, cmds_s, df_s, area_s, r_s, g_s, b_s,
+                         cov_s, sv_r, sv_g, sv_b, depth_s, sems,
+                         *, tile_h: int, tile_w: int, tiles_x: int,
+                         direct: bool, interpret: bool):
     if interpret:
         bar = jax.lax.optimization_barrier  # best-effort (see cmd_math.py)
     else:
@@ -290,23 +301,35 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
     def _():
         chunk_dma(0, 1).start()
 
-    cmds = make_commands(X, Y, bar)
+    # Draw resolves multiply the clip-STACK coverage plane (group
+    # extension); unclipped tiles read the constant-1.0 plane 0 (an exact
+    # bitwise no-op multiply).
+    cmds = make_commands(X, Y, bar, cov=lambda: cov_s[depth_s[0]])
     shp = (tile_h, tile_w)
 
     # ---- state in VMEM scratch -----------------------------------------
-    # df/area live in VMEM scratch refs; only r,g,b ride the loop carry.
-    # (A 16-row WINDOWED accumulation variant was built and measured
-    # SLOWER: the per-entry cond+switch picking the window costs more on
-    # Mosaic (~30-50 ns per branch) than the saved vector work -- see
-    # ROADMAP's dead-end ledger.  Accumulation is full-tile with
-    # straight-line predicated blocks.)
+    # ALL pixel state (r/g/b/df/area) lives in VMEM scratch refs; the
+    # entry loop carries nothing, and runs 4x unrolled (plus a tail loop).
+    # Per-entry cost decomposition (measured, see ROADMAP): the SCALAR
+    # unit is the bottleneck -- ~12 SMEM operand reads + index div/rem
+    # cost ~60 ns/entry, on par with the taken class's vector math -- so
+    # the dispatch uses predicated blocks (untaken classes' operand reads
+    # are SKIPPED) and shift/mask index decomposition.  Two alternatives
+    # were built and measured SLOWER (ROADMAP dead-ends): branchless
+    # select-accumulation, and tree-combined quads of 4 independent entry
+    # chains (the microbench's 3x interleaving win does not transfer; the
+    # scalar reads it must add dominate).
     #
-    # The df state holds the SQUARED line field: min and a correctly
-    # rounded monotone sqrt commute (min(sqrt(x)) == sqrt(min(x)) in f32),
-    # so deferring the sqrt from every CmdLine to the one CmdStroke
-    # resolve is bit-exact and saves a (tile_h, tile_w) sqrt per segment.
+    # df accumulates the SQUARED line field: min commutes bit-exactly with
+    # the correctly rounded monotone sqrt, deferred to the stroke resolve.
+    # (Area-delta QUANTIZATION was tried here and reverted: Mosaic's
+    # non-correctly-rounded division makes any rounding boundary amplify
+    # 1-ulp device-vs-oracle noise into visible codes -- see the NOTE in
+    # cmd_math.py.  Entry interpretation stays strictly sequential.)
 
-    def chunk_body(ci, st):
+    UNROLL = 4
+
+    def chunk_body(ci, _):
         slot = jnp.where(ci == 0, pslot, jax.lax.rem(ci - 1, 2))
 
         @pl.when((ci >= 1) & (ci + 1 < n_chunks))
@@ -317,10 +340,13 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
         def _():
             chunk_dma(slot, ci).wait()
 
-        def entry_body(j, st):
-            r, g, b = st
-            blk = j // 128
-            lane = jax.lax.rem(j, 128)
+        def accum_entry(j):
+            """One entry: predicated class blocks (fewest scalar reads --
+            the scalar unit is a measured per-entry bottleneck, so the
+            untaken classes' operand reads are skipped, and the entry
+            index decomposes by shift/mask, not div/rem)."""
+            blk = jax.lax.shift_right_logical(j, 7)
+            lane = j & 127
 
             def s0arg(k):
                 return cmds_s[slot, blk, W_S0_ARG + k, lane]
@@ -330,28 +356,26 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
 
             tag0 = cmds_s[slot, blk, W_S0_TAG, lane].astype(jnp.int32)
 
-            # -- Line: squared-df min-accumulation -----------------------
             @pl.when(tag0 == CMD_LINE)
             def _():
                 df_s[:] = jnp.minimum(df_s[:],
                                       line_field_sq(s0arg, X, Y, bar))
 
-            # -- FillEdge: winding delta ---------------------------------
             @pl.when(tag0 == CMD_FILL_EDGE)
             def _():
                 area_s[:] = area_s[:] + edge_delta(s0arg, Y, bar)
 
-            # -- Fill (slot 1): signed-area delta ------------------------
             @pl.when(cmds_s[slot, blk, W_S1_TAG, lane] > 0.0)
             def _():
                 mask, delta = fill_delta(s1arg, X, Y, bar)
                 area_s[:] = jnp.where(mask, area_s[:] + delta, area_s[:])
 
-            # -- resolve commands (sequential blend) ---------------------
             is_res = ((tag0 == CMD_CIRCLE) | (tag0 == CMD_STROKE)
                       | (tag0 == CMD_DRAW_FILL) | (tag0 == CMD_SOLID))
 
-            def resolve():
+            @pl.when(is_res)
+            def _():
+                r, g, b = r_s[:], g_s[:], b_s[:]
                 area = area_s[:]
                 idx = ((tag0 == CMD_STROKE) * 1
                        + (tag0 == CMD_DRAW_FILL) * 2
@@ -377,15 +401,66 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                 r2, g2, b2, df2, area2 = jax.lax.switch(
                     idx, [passthrough(cmds[0]), stroke_branch,
                           passthrough(cmds[5]), passthrough(cmds[6])])
+                r_s[:], g_s[:], b_s[:] = r2, g2, b2
                 df_s[:] = df2
                 area_s[:] = area2
-                return r2, g2, b2
 
-            return jax.lax.cond(is_res, resolve, lambda: (r, g, b))
+            # -- clip / layer group commands (extension; rare) -----------
+            # ONE extra branch test on the hot path; the inner whens only
+            # lower inside it.  Depth counters live in SMEM
+            # (depth_s[0] = clip, depth_s[1] = layer); cov planes and the
+            # saved-rgb layer stack in VMEM scratch.
+            @pl.when(tag0 >= CMD_BEGIN_CLIP)
+            def _():
+                @pl.when(tag0 == CMD_BEGIN_CLIP)
+                def _():
+                    d = depth_s[0]
+                    x = area_s[:] + s0arg(0)
+                    ca = clip_alpha(x, s0arg(1), bar)
+                    nd = jnp.minimum(d + 1, MAX_GROUP_DEPTH)
+                    cov_s[nd] = cov_s[d] * ca
+                    depth_s[0] = nd
+                    area_s[:] = jnp.zeros(shp, jnp.float32)
+
+                @pl.when(tag0 == CMD_END_CLIP)
+                def _():
+                    depth_s[0] = jnp.maximum(depth_s[0] - 1, 0)
+
+                @pl.when(tag0 == CMD_BEGIN_LAYER)
+                def _():
+                    ld = jnp.minimum(depth_s[1], MAX_GROUP_DEPTH - 1)
+                    sv_r[ld] = r_s[:]
+                    sv_g[ld] = g_s[:]
+                    sv_b[ld] = b_s[:]
+                    depth_s[1] = ld + 1
+
+                @pl.when(tag0 == CMD_END_LAYER)
+                def _():
+                    alpha = s0arg(0)
+                    ld = jnp.maximum(depth_s[1] - 1, 0)
+                    r_s[:] = sv_r[ld] + (r_s[:] - sv_r[ld]) * alpha
+                    g_s[:] = sv_g[ld] + (g_s[:] - sv_g[ld]) * alpha
+                    b_s[:] = sv_b[ld] + (b_s[:] - sv_b[ld]) * alpha
+                    depth_s[1] = ld
 
         lo = jnp.where(ci == 0, skip, 0)
         hi = jnp.minimum(total - ci * SC_ENTRIES, SC_ENTRIES)
-        return jax.lax.fori_loop(lo, hi, entry_body, st)
+        n_live = jnp.maximum(hi - lo, 0)
+
+        def quad_body(q, _):
+            j = lo + q * UNROLL
+            for u in range(UNROLL):
+                accum_entry(j + u)
+            return 0
+
+        def tail_body(j, _):
+            accum_entry(j)
+            return 0
+
+        full = jax.lax.fori_loop(0, n_live // UNROLL, quad_body, 0)
+        jax.lax.fori_loop(lo + (n_live // UNROLL) * UNROLL, hi, tail_body,
+                          full)
+        return 0
 
     def write(px):
         if direct:
@@ -405,10 +480,14 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
     def _():
         df_s[:] = jnp.full(shp, DF2_INIT, jnp.float32)
         area_s[:] = jnp.zeros(shp, jnp.float32)
-        state0 = (jnp.ones(shp, jnp.float32), jnp.ones(shp, jnp.float32),
-                  jnp.ones(shp, jnp.float32))
-        r, g, b = jax.lax.fori_loop(0, n_chunks, chunk_body, state0)
-        write(pack_rgba8(r, g, b, bar))
+        r_s[:] = jnp.ones(shp, jnp.float32)
+        g_s[:] = jnp.ones(shp, jnp.float32)
+        b_s[:] = jnp.ones(shp, jnp.float32)
+        cov_s[0] = jnp.ones(shp, jnp.float32)
+        depth_s[0] = 0
+        depth_s[1] = 0
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        write(pack_rgba8(r_s[:], g_s[:], b_s[:], bar))
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "tiles_x",
@@ -459,8 +538,18 @@ def fine_rasterize_entries(first: jax.Array, n_entries: jax.Array,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.SMEM((4, SC_BLOCKS, ENTRY_WORDS, 128), jnp.float32),
-            pltpu.VMEM((tile_h, tile_w), jnp.float32),   # df
+            pltpu.VMEM((tile_h, tile_w), jnp.float32),   # df (squared)
             pltpu.VMEM((tile_h, tile_w), jnp.float32),   # area
+            pltpu.VMEM((tile_h, tile_w), jnp.float32),   # r
+            pltpu.VMEM((tile_h, tile_w), jnp.float32),   # g
+            pltpu.VMEM((tile_h, tile_w), jnp.float32),   # b
+            # Clip-coverage plane stack (plane 0 = constant 1.0) and the
+            # saved-rgb layer stack (the clip/layer group extension).
+            pltpu.VMEM((MAX_GROUP_DEPTH + 1, tile_h, tile_w), jnp.float32),
+            pltpu.VMEM((MAX_GROUP_DEPTH, tile_h, tile_w), jnp.float32),
+            pltpu.VMEM((MAX_GROUP_DEPTH, tile_h, tile_w), jnp.float32),
+            pltpu.VMEM((MAX_GROUP_DEPTH, tile_h, tile_w), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),                 # depths
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from ..raster.ptcl import ARG_WORDS
-from .cmd_math import DF_INIT, make_commands, pack_rgba8
+from ..scene.scene import MAX_GROUP_DEPTH
+from .cmd_math import DF_INIT, clip_alpha, make_commands, pack_rgba8
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w",
@@ -58,37 +59,92 @@ def fine_rasterize_xla(counts: jax.Array, tags: jax.Array, args: jax.Array,
                  + jnp.arange(n_tiles, dtype=jnp.int32) // tiles_x) * tile_h
     n_max = jnp.max(counts)
 
+    D = MAX_GROUP_DEPTH
+
     def tile_fn(tag_row, arg_row, count, ox, oy):
         X = ox.astype(jnp.float32) + jax.lax.broadcasted_iota(
             jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
         Y = oy.astype(jnp.float32) + jax.lax.broadcasted_iota(
             jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+        shp = (tile_h, tile_w)
+
+        # Interpreter state: pixel state + clip/layer group stacks (the
+        # arbitrary-path clip extension).  cov[depth] multiplies every
+        # draw's alpha; plane 0 is constant 1.0 (no open clip -- an exact
+        # no-op multiply, preserving reference bit-parity).
+        # st = (r, g, b, df, area, cov (D+1,th,tw), cdep, saved (D,3,th,tw),
+        #       ldep)
+
+        def cur_cov_of(st):
+            return lambda: st[5][st[6]]
+
         # lax.switch can't take a function operand; pass the (ARG_WORDS,)
-        # vector and let each lifted branch index it.
-        def lift(cmd):
-            def branch(words, r, g, b, df, area):
-                return cmd(lambda k: words[k], r, g, b, df, area)
+        # vector and let each lifted branch index it.  make_commands'
+        # draw evaluators take the clip-stack coverage via closure, so the
+        # command tuple is rebuilt per branch with the state's cov thunk.
+        def lift_core(i):
+            def branch(words, st):
+                cov = cur_cov_of(st)
+                cmds = make_commands(X, Y, bar, cov=cov)
+                r, g, b, df, area = cmds[i](lambda k: words[k], *st[:5])
+                return (r, g, b, df, area) + st[5:]
             return branch
 
-        cmds = tuple(lift(c) for c in make_commands(X, Y, bar))
+        def begin_clip(words, st):
+            r, g, b, df, area, covs, cdep, saved, ldep = st
+            x = area + words[0]
+            ca = clip_alpha(x, words[1], bar)
+            nd = jnp.minimum(cdep + 1, D)
+            covs = jax.lax.dynamic_update_index_in_dim(
+                covs, covs[cdep] * ca, nd, 0)
+            return (r, g, b, df, jnp.zeros_like(area), covs, nd, saved,
+                    ldep)
+
+        def end_clip(words, st):
+            r, g, b, df, area, covs, cdep, saved, ldep = st
+            return (r, g, b, df, area, covs, jnp.maximum(cdep - 1, 0),
+                    saved, ldep)
+
+        def begin_layer(words, st):
+            r, g, b, df, area, covs, cdep, saved, ldep = st
+            saved = jax.lax.dynamic_update_index_in_dim(
+                saved, jnp.stack([r, g, b]), jnp.minimum(ldep, D - 1), 0)
+            return (r, g, b, df, area, covs, cdep, saved,
+                    jnp.minimum(ldep + 1, D))
+
+        def end_layer(words, st):
+            r, g, b, df, area, covs, cdep, saved, ldep = st
+            alpha = words[0]
+            ld = jnp.maximum(ldep - 1, 0)
+            sv = saved[ld]
+            r = sv[0] + (r - sv[0]) * alpha
+            g = sv[1] + (g - sv[1]) * alpha
+            b = sv[2] + (b - sv[2]) * alpha
+            return (r, g, b, df, area, covs, cdep, saved, ld)
+
+        def noop(words, st):
+            return st  # tag 9 (Bail) never appears in the arrays
+
+        branches = tuple(lift_core(i) for i in range(7)) + (
+            noop, begin_clip, end_clip, begin_layer, end_layer)
 
         def body(j, st):
-            r, g, b, df, area = st
-            idx = jnp.clip(tag_row[j] - 2, 0, 6)
-            nr, ng, nb, ndf, narea = jax.lax.switch(
-                idx, cmds, arg_row[j], r, g, b, df, area)
+            idx = jnp.clip(tag_row[j] - 2, 0, 11)
+            new = jax.lax.switch(idx, branches, arg_row[j], st)
             live = j < count
-            pick = lambda new, old: jnp.where(live, new, old)
-            return (pick(nr, r), pick(ng, g), pick(nb, b),
-                    pick(ndf, df), pick(narea, area))
+            return jax.tree.map(
+                lambda n, o: jnp.where(live, n, o), new, st)
 
-        shp = (tile_h, tile_w)
         st0 = (jnp.ones(shp, jnp.float32), jnp.ones(shp, jnp.float32),
                jnp.ones(shp, jnp.float32),
                jnp.full(shp, DF_INIT, jnp.float32),
-               jnp.zeros(shp, jnp.float32))
-        r, g, b, _, _ = jax.lax.fori_loop(0, n_max, body, st0)
-        return pack_rgba8(r, g, b, bar)
+               jnp.zeros(shp, jnp.float32),
+               jnp.ones((D + 1,) + shp, jnp.float32),
+               jnp.int32(0),
+               jnp.zeros((D, 3) + shp, jnp.float32),
+               jnp.int32(0))
+        st = jax.lax.fori_loop(0, n_max, body, st0)
+        return pack_rgba8(st[0], st[1], st[2], bar)
 
     tiles = jax.vmap(tile_fn)(tags, args3, counts.reshape(-1),
                               origins_x, origins_y)

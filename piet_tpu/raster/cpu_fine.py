@@ -26,7 +26,9 @@ import numpy as np
 from ..config import RenderConfig
 from ..scene.color import srgb_encode_u8
 from .ptcl import (CMD_CIRCLE, CMD_DRAW_FILL, CMD_FILL, CMD_FILL_EDGE,
-                   CMD_LINE, CMD_SOLID, CMD_STROKE, Ptcl)
+                   CMD_LINE, CMD_SOLID, CMD_STROKE, Ptcl,
+                   CMD_BEGIN_CLIP, CMD_END_CLIP, CMD_BEGIN_LAYER,
+                   CMD_END_LAYER)
 
 F = np.float32
 DF_INIT = F(1e9)
@@ -57,6 +59,11 @@ def render_tile(tags: np.ndarray, args: np.ndarray, count: int,
     rgb = np.ones((th, tw, 3), F)
     df = np.full((th, tw), DF_INIT, F)
     area = np.zeros((th, tw), F)
+    # Clip / layer group stacks (extension commands; scene.MAX_GROUP_DEPTH
+    # bounds the depth).  cov[-1] multiplies every draw's alpha; 1.0 when
+    # no clip is open (an exact no-op multiply).
+    cov_stack = [np.ones((th, tw), F)]
+    layer_stack = []
 
     for i in range(count):
         tag = int(tags[i])
@@ -67,7 +74,8 @@ def render_tile(tags: np.ndarray, args: np.ndarray, count: int,
             cy = by0 + F(0.5) * (by1 - by0)
             r = np.sqrt((X - cx) ** 2 + (Y - cy) ** 2, dtype=F)
             circle_r = min(cx - bx0, cy - by0)
-            alpha = _saturate(circle_r - r) * _clip_cov(av, X, Y)
+            alpha = _saturate(circle_r - r) * _clip_cov(av, X, Y) \
+                * cov_stack[-1]
             rgb = rgb * (F(1.0) - alpha)[..., None]  # mix toward black
         elif tag == CMD_LINE:
             sx, sy, ex, ey = (F(v) for v in av[:4])
@@ -87,7 +95,8 @@ def render_tile(tags: np.ndarray, args: np.ndarray, count: int,
         elif tag == CMD_STROKE:
             half_width = F(av[0])
             fg = av[1:5].astype(F)
-            alpha = _saturate(half_width + F(0.5) - df) * _clip_cov(av, X, Y)
+            alpha = _saturate(half_width + F(0.5) - df) \
+                * _clip_cov(av, X, Y) * cov_stack[-1]
             w = (fg[3] * alpha)[..., None]
             rgb = rgb + (fg[None, None, :3] - rgb) * w
             df = np.full_like(df, DF_INIT)
@@ -120,11 +129,11 @@ def render_tile(tags: np.ndarray, args: np.ndarray, count: int,
                 # (invisible at 8 bits) and it is stable.
                 a_cov = np.where(xmax - xmin > F(1e-4), a_cov,
                                  F(1.0) - _saturate(xs0))
-                delta = a_cov * (w0 - w1)
-            area = np.where(mask, area + delta.astype(F), area)
+                delta = (a_cov * (w0 - w1)).astype(F)
+            area = np.where(mask, area + delta, area)
         elif tag == CMD_FILL_EDGE:
             sgn, ye = F(av[0]), F(av[1])
-            area = area + sgn * _saturate(Y - ye + F(1.0))
+            area = area + (sgn * _saturate(Y - ye + F(1.0))).astype(F)
         elif tag == CMD_DRAW_FILL:
             backdrop = F(av[0])
             fg = av[1:5].astype(F)
@@ -136,14 +145,32 @@ def render_tile(tags: np.ndarray, args: np.ndarray, count: int,
                 alpha = np.abs(x - F(2.0) * np.round(F(0.5) * x))
             else:
                 alpha = np.minimum(np.abs(x), F(1.0))  # nonzero winding
-            alpha = alpha * _clip_cov(av, X, Y)
+            alpha = alpha * _clip_cov(av, X, Y) * cov_stack[-1]
             w = (fg[3] * alpha)[..., None]
             rgb = rgb + (fg[None, None, :3] - rgb) * w
             area = np.zeros_like(area)
         elif tag == CMD_SOLID:
             fg = av[:4].astype(F)
-            w = (fg[3] * _clip_cov(av, X, Y))[..., None]
+            w = (fg[3] * (_clip_cov(av, X, Y) * cov_stack[-1]))[..., None]
             rgb = rgb + (fg[None, None, :3] - rgb) * w
+        elif tag == CMD_BEGIN_CLIP:
+            backdrop = F(av[0])
+            x = area + backdrop
+            if av[1] != 0:
+                c_alpha = np.abs(x - F(2.0) * np.round(F(0.5) * x))
+            else:
+                c_alpha = np.minimum(np.abs(x), F(1.0))
+            cov_stack.append(cov_stack[-1] * c_alpha)
+            area = np.zeros_like(area)
+        elif tag == CMD_END_CLIP:
+            if len(cov_stack) > 1:
+                cov_stack.pop()
+        elif tag == CMD_BEGIN_LAYER:
+            layer_stack.append(rgb.copy())
+        elif tag == CMD_END_LAYER:
+            alpha_g = F(av[0])
+            saved = layer_stack.pop() if layer_stack else np.ones_like(rgb)
+            rgb = saved + (rgb - saved) * alpha_g
         else:
             raise ValueError(f"unknown ptcl tag {tag}")
     return rgb

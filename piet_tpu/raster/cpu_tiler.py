@@ -33,7 +33,9 @@ from typing import List
 import numpy as np
 
 from ..config import RenderConfig
-from ..scene.scene import (Scene, TAG_CIRCLE, TAG_FILL, TAG_LINE, TAG_POLY)
+from ..scene.scene import (FLAG_EVEN_ODD, FLAG_IN_GROUP, FLAG_POP_LAYER,
+                           Scene, TAG_CIRCLE, TAG_CLIP, TAG_FILL, TAG_LAYER,
+                           TAG_LINE, TAG_POLY, TAG_POP)
 from .ptcl import Ptcl, TileCmdEncoder, assemble_ptcl
 
 F = np.float32
@@ -67,15 +69,16 @@ def _segments(points: np.ndarray, wrap: bool) -> _ItemSegs:
                      a=a, b=b, c=c)
 
 
-def _fill_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int,
-               even_odd: bool, clip,
-               x0: F, y0: F, tw: F, th: F) -> None:
-    """Reference fill logic (PietRender.metal:248-364) for one (item, tile)."""
+def _fill_coverage(enc: TileCmdEncoder, seg: _ItemSegs,
+                   x0: F, y0: F, tw: F, th: F):
+    """Emit the per-tile fill COVERAGE commands (edges + fills) of a
+    closed path; returns (any_fill, backdrop) for the caller's tail
+    command (reference fill logic, PietRender.metal:248-364)."""
     s = seg
     ycull = (s.xymax[:, 1] >= y0) & (s.xymin[:, 1] < y0 + th)
     idx = np.nonzero(ycull)[0]
     if idx.size == 0:
-        return
+        return False, F(0.0)
     start, end = s.start[idx], s.end[idx]
     xymin, xymax = s.xymin[idx], s.xymax[idx]
     a, b, c = s.a[idx], s.b[idx], s.c[idx]
@@ -119,10 +122,27 @@ def _fill_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int,
             enc.fill(start[k, 0], start[k, 1], end[k, 0], end[k, 1])
             any_fill = True
 
+    return any_fill, backdrop
+
+
+def _fill_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int,
+               even_odd: bool, clip, in_group: bool,
+               x0: F, y0: F, tw: F, th: F) -> None:
+    """Reference fill logic for one (item, tile)."""
+    any_fill, backdrop = _fill_coverage(enc, seg, x0, y0, tw, th)
     if any_fill:
         enc.draw_fill(int(backdrop), color, even_odd=even_odd, clip=clip)
     elif backdrop != F(0.0):
-        enc.solid(color, clip=clip)
+        enc.solid(color, clip=clip, in_group=in_group)
+
+
+def _clip_tile(enc: TileCmdEncoder, seg: _ItemSegs, even_odd: bool,
+               x0: F, y0: F, tw: F, th: F) -> None:
+    """Arbitrary-path clip push (extension): the path's coverage commands
+    followed by BeginClip -- emitted in EVERY tile (outside the path the
+    coverage must become 0)."""
+    _, backdrop = _fill_coverage(enc, seg, x0, y0, tw, th)
+    enc.begin_clip(int(backdrop), even_odd=even_odd)
 
 
 def _poly_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int, width: F,
@@ -178,7 +198,7 @@ def cpu_tile_scene(scene: Scene, config: RenderConfig) -> Ptcl:
         tag = int(scene.tags[i])
         off, n = int(scene.pt_offset[i]), int(scene.n_pts[i])
         pts = scene.points[off:off + n]
-        segs.append(_segments(pts, wrap=(tag == TAG_FILL)))
+        segs.append(_segments(pts, wrap=(tag in (TAG_FILL, TAG_CLIP))))
 
     bb = scene.bboxes
     encoders: List[TileCmdEncoder] = []
@@ -201,10 +221,23 @@ def cpu_tile_scene(scene: Scene, config: RenderConfig) -> Ptcl:
                                tuple(scene.clips[i]), x0, y0, tw, th)
                 elif tag == TAG_FILL:
                     _fill_tile(enc, segs[i], color,
-                               bool(scene.flags[i] & 1),
-                               tuple(scene.clips[i]), x0, y0, tw, th)
+                               bool(scene.flags[i] & FLAG_EVEN_ODD),
+                               tuple(scene.clips[i]),
+                               bool(scene.flags[i] & FLAG_IN_GROUP),
+                               x0, y0, tw, th)
                 elif tag == TAG_POLY:
                     _poly_tile(enc, segs[i], color, width,
                                tuple(scene.clips[i]), x0, y0, tw, th)
+                elif tag == TAG_CLIP:
+                    _clip_tile(enc, segs[i],
+                               bool(scene.flags[i] & FLAG_EVEN_ODD),
+                               x0, y0, tw, th)
+                elif tag == TAG_LAYER:
+                    enc.begin_layer()
+                elif tag == TAG_POP:
+                    if scene.flags[i] & FLAG_POP_LAYER:
+                        enc.end_layer(float(scene.widths[i]))
+                    else:
+                        enc.end_clip()
             encoders.append(enc)
     return assemble_ptcl(encoders, config.cmd_capacity)

@@ -49,6 +49,11 @@ CMD_FILL_EDGE = 6
 CMD_DRAW_FILL = 7
 CMD_SOLID = 8
 CMD_BAIL = 9
+# -- extension commands (clip/layer groups; no reference analog) --------
+CMD_BEGIN_CLIP = 10   # [backdrop, even_odd]: area -> clip coverage, push
+CMD_END_CLIP = 11     # []: pop the clip stack
+CMD_BEGIN_LAYER = 12  # []: push the rgb state (group opacity layer)
+CMD_END_LAYER = 13    # [alpha]: composite pushed vs current rgb
 
 ARG_WORDS = 12
 
@@ -140,6 +145,24 @@ class TileCmdEncoder:
     def fill_edge(self, sign: float, y: float) -> None:
         self._push(CMD_FILL_EDGE, [float(sign), float(y)])
 
+    # -- clip / layer groups (extension commands) -----------------------
+    def begin_clip(self, backdrop: int, even_odd: bool = False) -> None:
+        self.solid_color = 0
+        self._push(CMD_BEGIN_CLIP,
+                   [float(backdrop), 1.0 if even_odd else 0.0])
+
+    def end_clip(self) -> None:
+        self.solid_color = 0
+        self._push(CMD_END_CLIP, [])
+
+    def begin_layer(self) -> None:
+        self.solid_color = 0
+        self._push(CMD_BEGIN_LAYER, [])
+
+    def end_layer(self, alpha: float) -> None:
+        self.solid_color = 0
+        self._push(CMD_END_LAYER, [float(alpha)])
+
     def draw_fill(self, backdrop: int, rgba: int, even_odd: bool = False,
                   clip=NO_CLIP) -> None:
         self.solid_color = 0
@@ -147,11 +170,12 @@ class TileCmdEncoder:
                    + [1.0 if even_odd else 0.0, 0.0, 0.0]
                    + [float(v) for v in clip])
 
-    def solid(self, rgba: int, clip=NO_CLIP) -> None:
-        if tuple(clip) != NO_CLIP:
-            # A clipped solid is a PARTIAL draw: it can neither bail the
-            # tile nor leave earlier bail state standing (unlike the
-            # reference's translucent-solid quirk, which predates clips).
+    def solid(self, rgba: int, clip=NO_CLIP, in_group: bool = False) -> None:
+        if tuple(clip) != NO_CLIP or in_group:
+            # A clipped solid -- or one inside an open clip/layer group --
+            # is a PARTIAL draw: it can neither bail the tile nor leave
+            # earlier bail state standing (unlike the reference's
+            # translucent-solid quirk, which predates clips).
             self.solid_color = 0
         elif (rgba & 0xFF) == 0xFF:
             self.solid_color = rgba

@@ -19,7 +19,7 @@ import dataclasses
 import numpy as np
 
 from ..config import RenderConfig
-from ..scene.scene import TAG_FILL, TAG_LINE, TAG_POLY
+from ..scene.scene import TAG_CLIP, TAG_FILL, TAG_LINE, TAG_POLY
 
 F = np.float32
 
@@ -41,8 +41,9 @@ def count_records(scene, config: RenderConfig):
     bh = np.maximum(by1 - by0 + 1, 0)
     n_cand = int((bw * bh).sum())
 
+    is_fill_item = (tags == TAG_FILL) | (tags == TAG_CLIP)
     seg_counts = np.where(
-        tags == TAG_FILL, n_pts,
+        is_fill_item, n_pts,
         np.where(tags == TAG_POLY, np.maximum(n_pts - 1, 0),
                  np.where(tags == TAG_LINE, 1, 0)))
     n_segs = int(seg_counts.sum())
@@ -52,8 +53,7 @@ def count_records(scene, config: RenderConfig):
     local = np.arange(n_segs) - np.repeat(
         np.cumsum(seg_counts) - seg_counts, seg_counts)
     i0 = scene.pt_offset[item_of_seg] + local
-    wrap = (tags[item_of_seg] == TAG_FILL) & (local + 1
-                                              == n_pts[item_of_seg])
+    wrap = is_fill_item[item_of_seg] & (local + 1 == n_pts[item_of_seg])
     i1 = np.where(wrap, scene.pt_offset[item_of_seg], i0 + 1)
     p0 = scene.points[i0].astype(F)
     p1 = scene.points[i1].astype(F)
@@ -61,7 +61,7 @@ def count_records(scene, config: RenderConfig):
     xmx = np.maximum(p0, p1)
     s_hw = F(0.5) * scene.widths[item_of_seg].astype(F) + F(0.5)
     twf, thf = F(tw), F(th)
-    is_fill = tags[item_of_seg] == TAG_FILL
+    is_fill = is_fill_item[item_of_seg]
     is_line = tags[item_of_seg] == TAG_LINE
 
     fx_lo = np.floor(xmn[:, 0] / twf).astype(np.int32)

@@ -213,6 +213,37 @@ def make_clipped_demo(size: int = 256) -> Scene:
     return b.build()
 
 
+def make_clip_star(size: int = 256) -> Scene:
+    """Arbitrary-path clip + opacity-layer demo (extension): a star-shaped
+    clip over a fill + strokes, a 50% layer'd circle, and an unclipped
+    square after the pops."""
+    import math
+
+    c = size / 2
+    b = SceneBuilder()
+    star = []
+    for k in range(10):
+        ang = -math.pi / 2 + k * math.pi / 5
+        r = size * (0.39 if k % 2 == 0 else 0.156)
+        # Off tile boundaries (the vertex-on-boundary quirk, PARITY.md).
+        star.append((c - 0.5 + r * math.cos(ang), c + r * math.sin(ang)))
+    b.clip_path(star)
+    b.fill([(1.0, 1.0), (size - 1.0, 1.0), (size - 1.0, size - 1.0),
+            (1.0, size - 1.0)], 0x2040C0FF)
+    for i in range(8):
+        b.stroke_line((1.0, i * size / 8.0), (float(size), i * size / 8.0
+                                              + size * 0.12),
+                      3.0, 0xFF8000FF)
+    b.push_layer(0.5)
+    b.circle(c, c, size * 0.23)
+    b.pop()
+    b.pop()
+    b.fill([(size * 0.04, size * 0.04), (size * 0.23, size * 0.04),
+            (size * 0.23, size * 0.23), (size * 0.04, size * 0.23)],
+           0x00A000FF)
+    return b.build()
+
+
 SCENES = {
     "path_test": make_path_test,
     "cardioid": make_cardioid,
@@ -221,6 +252,7 @@ SCENES = {
     "glyph_page": make_glyph_page,
     "star_evenodd": make_star_evenodd,
     "clipped_demo": make_clipped_demo,
+    "clip_star": make_clip_star,
 }
 
 

@@ -30,12 +30,27 @@ TAG_CIRCLE = 1
 TAG_LINE = 2
 TAG_FILL = 3
 TAG_POLY = 4
+# -- extension items (beyond the reference's four; vello-direction clip /
+# layer groups).  TAG_CLIP pushes an arbitrary-path clip (points like
+# TAG_FILL); TAG_LAYER pushes a group-opacity layer (alpha in ``widths``);
+# TAG_POP ends the innermost push (FLAG_POP_LAYER says which kind).
+TAG_CLIP = 5
+TAG_POP = 6
+TAG_LAYER = 7
+
+#: Maximum clip/layer nesting depth (sizes the fine kernels' plane stacks).
+MAX_GROUP_DEPTH = 4
 
 from ..config import THIN_LINE
 
 
 #: Scene item flag bits (extensions beyond the reference wire format).
 FLAG_EVEN_ODD = 1
+#: Item lies inside an open clip/layer group: disables the opaque-solid
+#: tile bail (the group may cut or fade it).
+FLAG_IN_GROUP = 2
+#: On TAG_POP: the innermost push is a layer (else a clip).
+FLAG_POP_LAYER = 4
 
 
 def quantize_bbox(x0: float, y0: float, x1: float, y1: float
@@ -148,6 +163,7 @@ class SceneBuilder:
         self._clips: List[Tuple[float, float, float, float]] = []
         self._clip: Tuple[float, float, float, float] = None
         self._declared: int = -1
+        self._group_stack: List[Tuple[str, float]] = []  # (kind, alpha)
 
     # -- group API (parity with src/lib.rs:132-149) ---------------------
     def begin_group(self, n_items: int = -1) -> None:
@@ -180,6 +196,8 @@ class SceneBuilder:
     def _add_item(self, tag: int, color: int, width: float,
                   off: int, n: int, bbox, flags: int = 0) -> None:
         from ..raster.ptcl import NO_CLIP
+        if self._group_stack:
+            flags |= FLAG_IN_GROUP
         self._tags.append(tag)
         self._colors.append(color & 0xFFFFFFFF)
         self._widths.append(float(width))
@@ -245,7 +263,48 @@ class SceneBuilder:
         for sp in subpaths:
             self.fill(sp, rgba, even_odd=even_odd)
 
+    # -- clip / layer groups (extension; vello-style coverage stack) ------
+    def clip_path(self, points: Sequence[Tuple[float, float]],
+                  even_odd: bool = False) -> None:
+        """Push an arbitrary-path clip: subsequent items (until the
+        matching ``pop``) are multiplied by the path's antialiased
+        coverage, intersected with any enclosing clip."""
+        if len(self._group_stack) >= MAX_GROUP_DEPTH:
+            raise ValueError(f"group nesting deeper than {MAX_GROUP_DEPTH}")
+        off, _ = self._add_points(points)
+        # Full-coverage bbox: the push/pop commands must reach EVERY tile
+        # later items may touch (outside the path the coverage is 0).
+        self._add_item(TAG_CLIP, 0, 0.0, off, len(points),
+                       (0.0, 0.0, 65535.0, 65535.0),
+                       flags=FLAG_EVEN_ODD if even_odd else 0)
+        self._group_stack.append(("clip", 0.0))
+
+    def push_layer(self, alpha: float) -> None:
+        """Push a group-opacity layer: items until the matching ``pop``
+        are composited as a group with the given opacity."""
+        if len(self._group_stack) >= MAX_GROUP_DEPTH:
+            raise ValueError(f"group nesting deeper than {MAX_GROUP_DEPTH}")
+        off, _ = self._add_points([(0.0, 0.0)])
+        self._add_item(TAG_LAYER, 0, float(alpha), off, 1,
+                       (0.0, 0.0, 65535.0, 65535.0))
+        self._group_stack.append(("layer", float(alpha)))
+
+    def pop(self) -> None:
+        """End the innermost clip or layer group."""
+        if not self._group_stack:
+            raise ValueError("pop() without a matching clip_path/push_layer")
+        kind, alpha = self._group_stack.pop()
+        # The popped LAYER's alpha rides on the pop item (the fine pass
+        # composites at pop time); for clips width is unused.
+        off, _ = self._add_points([(0.0, 0.0)])
+        self._add_item(TAG_POP, 0, alpha, off, 1,
+                       (0.0, 0.0, 65535.0, 65535.0),
+                       flags=FLAG_POP_LAYER if kind == "layer" else 0)
+
     def build(self) -> Scene:
+        if self._group_stack:
+            raise ValueError(
+                f"unclosed clip/layer groups: {self._group_stack}")
         n = len(self._tags)
         scene = Scene(
             tags=np.asarray(self._tags, np.int32),

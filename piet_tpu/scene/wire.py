@@ -83,6 +83,11 @@ def encode_scene(scene: Scene) -> bytes:
                              float(scene.widths[i]), npts, int(pt_byte_ix[i]))
             pts = scene.points[off:off + npts].astype("<f4")
             out[pt_byte_ix[i]:pt_byte_ix[i] + npts * POINT_SIZE] = pts.tobytes()
+        elif tag in (5, 6, 7):
+            raise ValueError(
+                "clip/layer group items (tags 5-7) are piet-tpu extensions "
+                "with no reference wire encoding; persist such scenes via "
+                "Scene.save (.npz) instead")
         else:
             raise ValueError(f"unknown item tag {tag}")
     return bytes(out)

@@ -29,11 +29,28 @@ from piet_tpu.scene.scene import SceneBuilder
 SIZE = 256
 
 
-def random_scene(seed: int):
+def random_scene(seed: int, groups: bool = False):
+    """``groups``: also fuzz arbitrary-path clip / opacity-layer groups
+    (the extension commands) with random nesting."""
     rng = np.random.default_rng(seed)
     b = SceneBuilder()
     b.begin_group()
+    depth = 0
     for _ in range(int(rng.integers(5, 40))):
+        if groups:
+            roll = rng.random()
+            if roll < 0.12 and depth < 3:
+                n = int(rng.integers(3, 9))
+                pts = [tuple(map(float, p))
+                       for p in rng.uniform(-20, SIZE + 20, (n, 2))]
+                b.clip_path(pts, even_odd=bool(rng.random() < 0.3))
+                depth += 1
+            elif roll < 0.2 and depth < 3:
+                b.push_layer(float(rng.uniform(0.0, 1.0)))
+                depth += 1
+            elif roll < 0.3 and depth > 0:
+                b.pop()
+                depth -= 1
         kind = int(rng.integers(0, 5))
         if rng.random() < 0.2:
             cx0, cy0 = rng.uniform(-10, SIZE, 2)
@@ -71,6 +88,10 @@ def random_scene(seed: int):
             else:
                 b.polyline([(float(x), float(y)) for x, y in pts],
                            color, float(rng.uniform(0.0, 8)))
+    if groups:
+        while depth > 0:
+            b.pop()
+            depth -= 1
     b.end_group()
     return b.build()
 
@@ -114,6 +135,37 @@ def test_fuzz_device_vs_oracle(seed):
         np.testing.assert_array_equal(args[t, :n], gold.args[t, :n],
                                       err_msg=f"seed {seed} tile {t}")
     # image: within the documented FMA tolerance
+    img = Renderer(cfg, fine_impl="xla").render(scene)
+    gimg = cpu_render_scene(scene, cfg)
+    diff = np.abs(img.astype(np.int32) - gimg.astype(np.int32))
+    assert diff.max() <= 2, f"seed {seed}: maxdiff {diff.max()}"
+    assert (diff.max(-1) > 0).mean() < 1e-3, f"seed {seed}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_clip_groups(seed):
+    """Random arbitrary-path clip / opacity-layer groups (extension):
+    coarse command equality AND image agreement vs the oracle."""
+    scene = random_scene(200 + seed, groups=True)
+    cfg = SHARED_CFG
+    dev = prepare_scene(scene, cfg)
+    out = coarse_rasterize(
+        dev, tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+        tile_w=cfg.tile_width, tile_h=cfg.tile_height,
+        cmd_capacity=cfg.cmd_capacity, max_segments=cfg.max_segments,
+        max_hits=cfg.max_hits, max_candidates=cfg.max_candidates,
+        max_deltas=cfg.max_deltas)
+    gold = cpu_tile_scene(scene, cfg)
+    np.testing.assert_array_equal(np.asarray(out.counts), gold.counts)
+    np.testing.assert_array_equal(np.asarray(out.solid), gold.solid)
+    tags = np.asarray(out.tags)
+    args = np.asarray(out.args).reshape(-1, cfg.cmd_capacity, ARG_WORDS)
+    for t in range(gold.n_tiles):
+        n = int(gold.counts[t])
+        np.testing.assert_array_equal(tags[t, :n], gold.tags[t, :n],
+                                      err_msg=f"seed {seed} tile {t}")
+        np.testing.assert_array_equal(args[t, :n], gold.args[t, :n],
+                                      err_msg=f"seed {seed} tile {t}")
     img = Renderer(cfg, fine_impl="xla").render(scene)
     gimg = cpu_render_scene(scene, cfg)
     diff = np.abs(img.astype(np.int32) - gimg.astype(np.int32))

@@ -108,3 +108,38 @@ def test_full_renderer_bit_exact_on_tpu_32row_tiles():
     assert diff.max() <= 1, f"max code diff {diff.max()}"
     frac = (diff.max(axis=-1) > 0).mean()
     assert frac < 1e-4, f"{frac:.2%} of pixels differ"
+
+
+def test_clip_layer_scene_exact_on_tpu():
+    """Arbitrary-path clips + opacity layers through the production
+    entry-stream kernel on hardware (16-row tiles: bit-exact contract)."""
+    import math
+
+    import numpy as np
+
+    from piet_tpu.config import RenderConfig
+    from piet_tpu.raster.cpu_fine import cpu_render_scene
+    from piet_tpu.renderer.renderer import Renderer
+    from piet_tpu.scene.scene import SceneBuilder
+
+    b = SceneBuilder()
+    star = []
+    for k in range(10):
+        ang = -math.pi / 2 + k * math.pi / 5
+        r = 100 if k % 2 == 0 else 40
+        star.append((127.5 + r * math.cos(ang), 128 + r * math.sin(ang)))
+    b.clip_path(star)
+    b.fill([(1, 1), (255, 1), (255, 255), (1, 255)], 0x2040C0FF)
+    for i in range(8):
+        b.stroke_line((1, i * 32), (256, i * 32 + 30), 3.0, 0xFF8000FF)
+    b.push_layer(0.5)
+    b.circle(128, 128, 60)
+    b.pop()
+    b.pop()
+    scene = b.build()
+    cfg = RenderConfig(width=256, height=256, tile_height=16, tile_width=128,
+                       cmd_capacity=1024)
+    with jax.default_device(jax.devices("tpu")[0]):
+        img = Renderer(cfg, fine_impl="pallas").render(scene)
+    gold = cpu_render_scene(scene, cfg)
+    np.testing.assert_array_equal(img, gold)
