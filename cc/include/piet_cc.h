@@ -48,6 +48,20 @@ int32_t pm_encoder_polyline(PmEncoder* e, const double* pts, int32_t n,
                             uint32_t rgba, float width);
 int64_t pm_encoder_size(const PmEncoder* e);
 
+// -- native per-frame fixture builder (cc/src/fixtures.cc) ------------------
+// C++ twin of scene/fixtures.py::make_animated_frame emitting SoA scene
+// arrays directly (tags/colors/widths int32/uint32/f32 of length n; bboxes
+// (n,4) i32; pt_offset/n_pts i32; points (>=13n,2) f32; flags u32; clips
+// (n,4) f32).  The seeded random draws (centers (n,2), radii, phases,
+// color_hi = rng<<8) are t-independent and passed in.  Returns the total
+// point count written.
+int64_t pm_animated_frame(double t, int32_t n, const double* centers,
+                          const double* radii, const double* phases,
+                          const uint32_t* color_hi, int32_t* tags,
+                          uint32_t* colors, float* widths, int32_t* bboxes,
+                          int32_t* pt_offset, int32_t* n_pts, float* points,
+                          uint32_t* flags, float* clips);
+
 // -- golden rasterizer (C10/C9 oracle; see piet_tpu/raster/) ---------------
 // Renders a wire-format scene buffer to RGBA8.  tile_w/tile_h parameterize
 // the binning geometry (16x16 matches the reference; 16x128 matches the TPU

@@ -79,16 +79,28 @@ def cmd_bench(args) -> int:
         # every frame (the reference only re-encodes on resize,
         # PietRenderer.m:105-146; per-frame re-encode is BASELINE config 5).
         # Host encode of frame t+1 overlaps device render of frame t.
-        from .scene.fixtures import make_animated_frame
-        img = None
+        # Frame path: native C++ scene build (cc/src/fixtures.cc, ~0.1 ms
+        # vs ~7 ms Python) -> ONE packed staging transfer (pack_scene)
+        # -> async dispatch; capacity checked once at the end.
+        import jax
+        from . import native
+        from .renderer.renderer import pack_scene
+        from .scene.fixtures import (make_animated_frame,
+                                     make_animated_frame_native)
+        build = (make_animated_frame_native if native.available()
+                 else make_animated_frame)
+        rfn = renderer.packed_render_fn()
+        rfn(jax.numpy.asarray(pack_scene(scene, cfg)))  # compile
+        img = stats = None
         t0 = time.perf_counter()
         for i in range(args.frames):
-            frame_scene = (make_animated_frame(i / 60.0)
+            frame_scene = (build(i / 60.0)
                            if args.scene == "animated" else scene)
-            dev = prepare_scene(frame_scene, cfg)
-            img, _ = renderer._render(dev)
+            img, stats = rfn(jax.numpy.asarray(pack_scene(frame_scene, cfg)))
         np.asarray(img[0, 0])
         value = (time.perf_counter() - t0) * 1e3 / args.frames
+        renderer.last_stats = jax.tree.map(np.asarray, stats)
+        renderer._check_capacity(renderer.last_stats)
     else:
         dev = prepare_scene(scene, cfg)
         img, _ = renderer._render(dev)

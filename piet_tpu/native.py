@@ -44,6 +44,7 @@ def load(rebuild: bool = False) -> ctypes.CDLL:
     lib.pm_render_golden.restype = ctypes.c_int64
     lib.pm_encoder_new.restype = ctypes.c_void_p
     lib.pm_encoder_size.restype = ctypes.c_int64
+    lib.pm_animated_frame.restype = ctypes.c_int64
     lib.pm_version.restype = ctypes.c_char_p
     _lib = lib
     return lib
@@ -94,6 +95,45 @@ def flatten_cubics(cubics: np.ndarray, accuracy: float
         if total >= 0:
             return pts[:total], counts
         cap *= 4
+
+
+def animated_frame(t: float, centers: np.ndarray, radii: np.ndarray,
+                   phases: np.ndarray, color_hi: np.ndarray):
+    """Native per-frame scene build for the animated fixture.
+
+    Emits the SoA ``Scene`` arrays directly (cc/src/fixtures.cc), bit-
+    identical to scene/fixtures.py::make_animated_frame on this host
+    (tests/test_native.py).  The seeded random draws are t-independent
+    and passed in (computed once by the caller)."""
+    from .scene.scene import Scene
+
+    lib = load()
+    n = len(radii)
+    tags = np.zeros(n, np.int32)
+    colors = np.zeros(n, np.uint32)
+    widths = np.zeros(n, np.float32)
+    bboxes = np.zeros((n, 4), np.int32)
+    pt_offset = np.zeros(n, np.int32)
+    n_pts = np.zeros(n, np.int32)
+    points = np.zeros((13 * n, 2), np.float32)
+    flags = np.zeros(n, np.uint32)
+    clips = np.zeros((n, 4), np.float32)
+
+    def p(a, ty):
+        return a.ctypes.data_as(ctypes.POINTER(ty))
+
+    total = lib.pm_animated_frame(
+        ctypes.c_double(t), ctypes.c_int32(n),
+        p(centers, ctypes.c_double), p(radii, ctypes.c_double),
+        p(phases, ctypes.c_double), p(color_hi, ctypes.c_uint32),
+        p(tags, ctypes.c_int32), p(colors, ctypes.c_uint32),
+        p(widths, ctypes.c_float), p(bboxes, ctypes.c_int32),
+        p(pt_offset, ctypes.c_int32), p(n_pts, ctypes.c_int32),
+        p(points, ctypes.c_float), p(flags, ctypes.c_uint32),
+        p(clips, ctypes.c_float))
+    return Scene(tags=tags, colors=colors, widths=widths, bboxes=bboxes,
+                 pt_offset=pt_offset, n_pts=n_pts, points=points[:total],
+                 flags=flags, clips=clips)
 
 
 def render_golden(scene_wire: bytes, width: int, height: int,

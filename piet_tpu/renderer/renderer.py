@@ -68,6 +68,69 @@ def prepare_scene(scene: Scene, config: RenderConfig) -> DeviceScene:
     )
 
 
+def pack_scene(scene: Scene, config: RenderConfig) -> np.ndarray:
+    """Pack a scene into ONE flat uint32 staging buffer (padded to the
+    config's capacity buckets).
+
+    The per-frame re-encode path pays one host->device transfer per
+    DeviceScene leaf (10 of them) if staged with prepare_scene; through a
+    high-latency link (the benchmark host reaches the chip via a network
+    tunnel) the per-transfer overhead dominates.  This is the TPU analog
+    of the reference's single shared scene buffer (PietRenderer.m:52-53):
+    everything rides one buffer, sliced apart on device inside the jit
+    (unpack_scene -- free at compile time, the slices are static)."""
+    ni, np_ = scene.n_items, scene.n_points
+    if ni > config.max_items:
+        raise SceneCapacityError(f"{ni} items > max_items {config.max_items}")
+    if np_ > config.max_points:
+        raise SceneCapacityError(
+            f"{np_} points > max_points {config.max_points}")
+    NI, NP = config.max_items, config.max_points
+    colors_lin = decode_color_linear(scene.colors)
+
+    def pad_u32(arr, n):
+        flat = np.ascontiguousarray(arr).view(np.uint32).reshape(
+            arr.shape[0], -1)
+        out = np.zeros((n, flat.shape[1]), np.uint32)
+        out[:flat.shape[0]] = flat
+        return out.reshape(-1)
+
+    return np.concatenate([
+        pad_u32(scene.tags, NI), pad_u32(scene.colors, NI),
+        pad_u32(colors_lin, NI), pad_u32(scene.widths, NI),
+        pad_u32(scene.bboxes, NI), pad_u32(scene.pt_offset, NI),
+        pad_u32(scene.n_pts, NI), pad_u32(scene.flags, NI),
+        pad_u32(scene.clips, NI), pad_u32(scene.points, NP),
+        np.array([ni], np.uint32)])
+
+
+def unpack_scene(buf: jax.Array, config: RenderConfig) -> DeviceScene:
+    """Slice a packed staging buffer back into a DeviceScene (traceable;
+    static offsets, so XLA sees bitcasts of buffer views)."""
+    NI, NP = config.max_items, config.max_points
+    widths = [NI, NI, 4 * NI, NI, 4 * NI, NI, NI, NI, 4 * NI, 2 * NP, 1]
+    parts = []
+    off = 0
+    for w in widths:
+        parts.append(buf[off:off + w])
+        off += w
+    f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)  # noqa: E731
+    i32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)  # noqa: E731
+    return DeviceScene(
+        tags=i32(parts[0]),
+        colors_u32=parts[1],
+        colors_lin=f32(parts[2]).reshape(NI, 4),
+        widths=f32(parts[3]),
+        bboxes=i32(parts[4]).reshape(NI, 4),
+        pt_offset=i32(parts[5]),
+        n_pts=i32(parts[6]),
+        flags=parts[7],
+        clips=f32(parts[8]).reshape(NI, 4),
+        points=f32(parts[9]).reshape(NP, 2),
+        n_items=i32(parts[10])[0],
+    )
+
+
 def _solid_to_present_u32(solid: jax.Array) -> jax.Array:
     """Logical 0xRRGGBBAA -> packed framebuffer u32 (R in low byte), i.e.
     the raw sRGB bytes the present fast path writes (PietRender.metal:34-44).
@@ -233,6 +296,36 @@ class Renderer:
         base = RenderConfig(width=width, height=height, **config_kw)
         return cls(fit_capacities(scene, base, bucket=bucket),
                    fine_impl=fine_impl)
+
+    def packed_render_fn(self):
+        """The jitted packed-buffer render step (buf_u32) -> (img, stats).
+        Frames dispatched through it do NOT sync on stats -- callers doing
+        multi-frame loops should check capacity once at the end (see
+        cli.py::cmd_bench --reencode)."""
+        if not hasattr(self, "_render_packed"):
+            cfg, interp = self.config, self._interpret
+            impl = self._fine_impl
+
+            @jax.jit
+            def render_packed(buf):
+                scene_dev = unpack_scene(buf, cfg)
+                img, stats = render_slab(
+                    scene_dev, cfg, tiles_y=cfg.tiles_y, row0=0,
+                    fine_impl=_resolve_fine_impl(impl), interpret=interp)
+                return img[:cfg.height, :cfg.width], stats
+
+            self._render_packed = render_packed
+        return self._render_packed
+
+    def render_packed_u32(self, scene: Scene) -> jax.Array:
+        """Single-transfer render: pack the scene into one staging buffer
+        on host (native-encode friendly), unpack + render in one jit.
+        The per-frame re-encode fast path (see pack_scene)."""
+        fn = self.packed_render_fn()
+        img, stats = fn(jnp.asarray(pack_scene(scene, self.config)))
+        self.last_stats = jax.tree.map(lambda x: np.asarray(x), stats)
+        self._check_capacity(self.last_stats)
+        return img
 
     def render_u32(self, scene: Scene) -> jax.Array:
         dev = prepare_scene(scene, self.config)

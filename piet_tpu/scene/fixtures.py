@@ -136,6 +136,35 @@ def make_glyph_page(n_glyphs: int = 5000, size: int = 1024, seed: int = 3
     return b.build()
 
 
+def _animated_params(size: int, n: int, seed: int):
+    """The animated fixture's seeded (t-independent) random draws, in the
+    exact numpy call order of the original builder loop.  Shared by the
+    Python and native (cc/src/fixtures.cc) per-frame builders."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(size * 0.1, size * 0.9, (n, 2))
+    radii = rng.uniform(size * 0.02, size * 0.08, n)
+    phases = rng.uniform(0, 2 * math.pi, n)
+    color_hi = np.array([int(rng.integers(0, 1 << 24)) << 8
+                         for _ in range(n)], np.uint32)
+    return centers, radii, phases, color_hi
+
+
+def make_animated_frame_native(t: float, size: int = 1024, n: int = 200,
+                               seed: int = 5) -> Scene:
+    """Native (C++) per-frame build of the animated fixture -- the frame
+    critical path of the re-encode benchmark; ~150x the Python builder.
+    Bit-identical to make_animated_frame (tests/test_native.py)."""
+    from .. import native
+    global _ANIM_PARAMS
+    key = (size, n, seed)
+    if _ANIM_PARAMS.get("key") != key:
+        _ANIM_PARAMS = {"key": key, "params": _animated_params(size, n, seed)}
+    return native.animated_frame(t, *_ANIM_PARAMS["params"])
+
+
+_ANIM_PARAMS: dict = {}
+
+
 def make_animated_frame(t: float, size: int = 1024, n: int = 200,
                         seed: int = 5) -> Scene:
     """BASELINE config 5: one frame of an animated clip (rotating strokes +

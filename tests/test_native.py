@@ -65,3 +65,17 @@ def test_golden_rasterizer_reference_tile_geometry():
                                      cmd_capacity=256)
     img_py = cpu_render_scene(scene, cfg)
     np.testing.assert_array_equal(img_cc, img_py)
+
+
+def test_native_animated_frame_bit_identical():
+    """The C++ per-frame fixture builder (cc/src/fixtures.cc) emits the
+    exact SoA arrays of the Python builder, across frame times."""
+    from piet_tpu.scene.fixtures import (make_animated_frame,
+                                         make_animated_frame_native)
+    for t in (0.0, 0.37, 12.25):
+        a = make_animated_frame(t)
+        b = make_animated_frame_native(t)
+        for f in ("tags", "colors", "widths", "bboxes", "pt_offset",
+                  "n_pts", "points", "flags", "clips"):
+            np.testing.assert_array_equal(getattr(a, f), getattr(b, f),
+                                          err_msg=f"t={t} field={f}")

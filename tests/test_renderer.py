@@ -149,3 +149,31 @@ def test_render_sequence_checks_capacity():
     r = Renderer(cfg, fine_impl="xla")
     with pytest.raises(SceneCapacityError):
         r.render_sequence(scenes)
+
+
+def test_packed_staging_matches_prepare_scene():
+    """pack_scene -> unpack_scene round-trips to the exact DeviceScene of
+    prepare_scene, and the packed single-transfer render path produces
+    the identical image (the per-frame re-encode fast path)."""
+    import jax
+    import jax.numpy as jnp
+    from piet_tpu.renderer.renderer import (pack_scene, prepare_scene,
+                                            unpack_scene)
+    from piet_tpu.scene.fixtures import make_animated_frame
+
+    scene = make_animated_frame(0.4, size=256, n=24)
+    cfg = RenderConfig(width=256, height=256, tile_height=16, tile_width=128,
+                       cmd_capacity=256, max_items=64, max_points=512,
+                       max_segments=1 << 10, max_hits=1 << 12,
+                       max_candidates=1 << 10, max_deltas=1 << 10)
+    ref = prepare_scene(scene, cfg)
+    got = jax.jit(lambda b: unpack_scene(b, cfg))(
+        jnp.asarray(pack_scene(scene, cfg)))
+    for name in ref._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
+            err_msg=name)
+    r = Renderer(cfg, fine_impl="xla")
+    img_packed = np.asarray(r.render_packed_u32(scene))
+    img_ref = np.asarray(r.render_u32(scene))
+    np.testing.assert_array_equal(img_packed, img_ref)
