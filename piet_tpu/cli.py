@@ -234,6 +234,18 @@ def cmd_goldens(args) -> int:
     return 0 if worst <= args.tolerance else 1
 
 
+def cmd_dump(args) -> int:
+    """Hexdump a scene's wire encoding (u32 words, annotated): the
+    debugging aid of the reference's ``Encoder::debug_print``
+    (src/lib.rs:242-253), reachable from the CLI instead of a code toggle."""
+    from .scene.scene import Scene
+    from .scene.wire import encode_scene, hexdump_scene
+
+    scene = Scene.load(args.load) if args.load else _build_scene(args)
+    print(hexdump_scene(encode_scene(scene)))
+    return 0
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -293,6 +305,11 @@ def main(argv=None) -> int:
     g.add_argument("--fine-impl", default="auto",
                    choices=["auto", "pallas", "xla"])
     g.set_defaults(fn=cmd_goldens)
+
+    d = sub.add_parser("dump", help="hexdump a scene's wire encoding")
+    scene_args(d)
+    d.add_argument("--load", help="load scene from .npz instead")
+    d.set_defaults(fn=cmd_dump)
 
     i = sub.add_parser("info", help="backend / native library status")
     i.set_defaults(fn=cmd_info)

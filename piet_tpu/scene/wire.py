@@ -93,6 +93,35 @@ def encode_scene(scene: Scene) -> bytes:
     return bytes(out)
 
 
+def hexdump_scene(buf: bytes) -> str:
+    """Wire-format debugging aid: hexdump the encoded buffer as u32 words,
+    the TPU port of the reference's ``Encoder::debug_print``
+    (src/lib.rs:242-253) -- plus region annotations the reference lacked
+    (header / bbox array / item array / point data), derived from the
+    self-describing header.
+
+    Dead-pad words at the buffer tail (len % 4) are ignored, matching the
+    reference's word-count truncation.
+    """
+    n, items_ix = struct.unpack_from("<II", buf, 0)
+    group_end = items_ix + n * PIET_ITEM_SIZE
+    words = np.frombuffer(buf[:len(buf) & ~3], dtype="<u4")
+    lines = []
+    for w0 in range(0, len(words), 4):
+        byte0 = w0 * 4
+        if byte0 == 0:
+            region = "group header"
+        elif byte0 < items_ix:
+            region = f"bbox[{(byte0 - SIMPLE_GROUP_HEADER_SIZE) // SHORT_BBOX_SIZE}]"
+        elif byte0 < group_end:
+            region = f"item[{(byte0 - items_ix) // PIET_ITEM_SIZE}]"
+        else:
+            region = "points"
+        row = " ".join(f"{w:08x}" for w in words[w0:w0 + 4])
+        lines.append(f"{byte0:6x}: {row:<36}  {region}")
+    return "\n".join(lines)
+
+
 def decode_scene(buf: bytes) -> Scene:
     """Parse the reference byte format back into an SoA `Scene`."""
     n, items_ix = struct.unpack_from("<II", buf, 0)

@@ -184,3 +184,27 @@ def test_layout_describe_matches_reference_constants():
     assert ptcl["enums"]["Cmd"]["tags"] == {
         "End": 1, "Circle": 2, "Line": 3, "Fill": 4, "Stroke": 5,
         "FillEdge": 6, "DrawFill": 7, "Solid": 8, "Bail": 9}
+
+
+def test_hexdump_scene_annotated():
+    """The wire hexdump (reference: Encoder::debug_print, src/lib.rs:242-253)
+    prints every u32 word and annotates the regions the header describes."""
+    from piet_tpu.scene.wire import encode_scene, hexdump_scene
+
+    scene = make_path_test()
+    buf = encode_scene(scene)
+    dump = hexdump_scene(buf)
+    lines = dump.splitlines()
+    # 72 bytes -> 18 words -> 5 rows of up to 4 words.
+    assert len(lines) == 5
+    assert lines[0].startswith("     0:")
+    assert "group header" in lines[0]
+    assert "item[0]" in lines[1]
+    assert "points" in lines[-1]
+    # Word 0 is n_items (1), little-endian.
+    assert "00000001" in lines[0]
+    # Round-trippable: every encoded word appears in the dump.
+    words = np.frombuffer(buf, "<u4")
+    flat = dump.replace("\n", " ")
+    for w in words:
+        assert f"{int(w):08x}" in flat
