@@ -39,12 +39,24 @@ from ..renderer.renderer import (Renderer, _resolve_fine_impl, prepare_scene,
 
 
 def make_sharded_render_fn(config: RenderConfig, mesh: Mesh,
-                           fine_impl: str = "auto"):
+                           fine_impl: str = "auto", interleave: int = 1):
     """Build the jitted multi-chip render step.
 
-    Returns a function DeviceScene -> (image_u32, stats) where image_u32 is
-    the full padded framebuffer (row-sharded across the mesh) and stats
-    are per-device arrays of shape (n_devices,).
+    Returns a function DeviceScene -> (image_u32, stats).  With
+    ``interleave == 1`` (default) image_u32 is the full padded framebuffer
+    (contiguous slabs, row-sharded across the mesh) and stats are
+    per-device arrays of shape (n_devices,).
+
+    ``interleave = B > 1`` is the LOAD-BALANCED partition: each device
+    renders B row blocks STRIDED across the viewport (device d gets
+    global blocks d, d+N, d+2N, ...), so a horizontal complexity band
+    (e.g. the tiger's head) spreads over every device instead of
+    saturating one slab's owner.  SPMD needs static shapes, so uneven
+    contiguous slabs are not expressible; strided equal blocks are the
+    static-shape balancer.  Blocks run under ``lax.map`` (one compiled
+    pipeline, B sequential steps per device); capacity limits apply PER
+    BLOCK.  The image is returned as (N*B, block_h, padded_W) row blocks
+    in device-major order -- ``ShardedRenderer.render`` reassembles.
     """
     if len(mesh.axis_names) != 1:
         raise ValueError("expected a 1D mesh (row sharding)")
@@ -55,6 +67,35 @@ def make_sharded_render_fn(config: RenderConfig, mesh: Mesh,
             f"tiles_y={config.tiles_y} not divisible by mesh size {ndev}")
     rows = config.tiles_y // ndev
     impl = _resolve_fine_impl(fine_impl)
+
+    if interleave > 1:
+        if rows % interleave:
+            raise ValueError(
+                f"rows-per-device {rows} not divisible by "
+                f"interleave {interleave}")
+        k = rows // interleave
+
+        def shard_fn(scene: DeviceScene):
+            d = jax.lax.axis_index(axis)
+            block_ids = d + jnp.arange(interleave, dtype=jnp.int32) * ndev
+
+            def one(b):
+                img, stats = render_slab(scene, config, tiles_y=k,
+                                         row0=b * k, fine_impl=impl)
+                return img, {kk: jnp.asarray(v) for kk, v in stats.items()}
+
+            imgs, stats = jax.lax.map(one, block_ids)
+            # max_tile_cmds is a max across blocks; overflow counters sum.
+            stats = {kk: (v.max() if kk == "max_tile_cmds" else v.sum()
+                          ).reshape(1) for kk, v in stats.items()}
+            return imgs, stats
+
+        sharded = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=P(),                      # scene replicated
+            out_specs=(P(axis, None, None), P(axis)),
+            check_vma=False)
+        return jax.jit(sharded)
 
     def shard_fn(scene: DeviceScene):
         row0 = jax.lax.axis_index(axis) * rows
@@ -86,10 +127,12 @@ class ShardedRenderer:
     """
 
     def __init__(self, config: RenderConfig, mesh: Mesh,
-                 fine_impl: str = "auto"):
+                 fine_impl: str = "auto", interleave: int = 1):
         self.config = config
         self.mesh = mesh
-        self._render = make_sharded_render_fn(config, mesh, fine_impl)
+        self.interleave = interleave
+        self._render = make_sharded_render_fn(config, mesh, fine_impl,
+                                              interleave)
         self._scene_sharding = NamedSharding(mesh, P())
         self.last_stats: Optional[Dict] = None
 
@@ -103,6 +146,14 @@ class ShardedRenderer:
 
     def render(self, scene) -> np.ndarray:
         img = np.ascontiguousarray(np.asarray(self.render_u32(scene)))
+        if self.interleave > 1:
+            # (N*B, kh, W) device-major row blocks -> global block g sits
+            # at (d=g%N, i=g//N), i.e. stacked order is (d, i); reorder to
+            # (i, d) = global order, then flatten rows.
+            ndev = self.mesh.shape[self.mesh.axis_names[0]]
+            nb, kh, w = img.shape
+            img = (img.reshape(ndev, nb // ndev, kh, w)
+                   .transpose(1, 0, 2, 3).reshape(nb * kh, w))
         return img.view(np.uint8).reshape(
             self.config.padded_height, self.config.padded_width,
             4)[:self.config.height, :self.config.width]

@@ -82,3 +82,23 @@ def test_sharded_matches_unsharded_counts():
     diff = np.abs(img_s.astype(np.int32) - img_u.astype(np.int32))
     assert diff.max() <= 2
     assert (diff.max(-1) > 0).mean() < 1e-4
+
+
+def test_interleaved_partition_matches_contiguous():
+    """The load-balanced strided-block partition (interleave=B) must
+    produce the same image as the contiguous-slab partition: the pipeline
+    is row-local, so the slab decomposition cannot change any tile's
+    commands (pixel tolerance = the usual XLA:CPU FMA allowance; shapes
+    differ per slab, so contraction choices may too)."""
+    mesh = _mesh()
+    scene = make_cardioid(center=(256.0, 256.0), r=200.0)
+    contiguous = ShardedRenderer(CFG, mesh, fine_impl="xla")
+    balanced = ShardedRenderer(CFG, mesh, fine_impl="xla", interleave=2)
+    img_c = contiguous.render(scene)
+    img_b = balanced.render(scene)
+    _assert_near(img_b, img_c)
+    # Integer coarse diagnostics agree exactly.
+    assert int(balanced.last_stats["max_tile_cmds"].max()) == \
+        int(contiguous.last_stats["max_tile_cmds"].max())
+    assert all(int(v.sum()) == 0 for k, v in balanced.last_stats.items()
+               if k.endswith("overflow"))
