@@ -46,7 +46,7 @@ tests/test_coarse.py.
 from __future__ import annotations
 
 import os
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +61,8 @@ from ..raster.ptcl import (CMD_BEGIN_CLIP, CMD_BEGIN_LAYER, CMD_END_CLIP,
 from ..scene.scene import (FLAG_IN_GROUP, FLAG_POP_LAYER, TAG_CIRCLE,
                            TAG_CLIP, TAG_FILL, TAG_LAYER, TAG_LINE, TAG_POLY,
                            TAG_POP)
+from .expand import expand_rows, expand_rows_xla
+from .keyed import keyed_sum, keyed_sum_xla
 from .sort import stable_sort_multi
 
 I32_MAX = jnp.int32(2**31 - 1)
@@ -128,41 +130,23 @@ def _exclusive_cumsum(x):
     return c - x, c  # (exclusive, inclusive)
 
 
-def _expand(counts: jax.Array, cap: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Ragged-range expansion: sources with ``counts[i]`` slots each are laid
-    out consecutively; returns (src_index, local_index, valid) for ``cap``
-    output slots.
+def _fdivmod(local: jax.Array, w: jax.Array):
+    """Exact floor-div/mod of small nonneg ints via f32 (vector units).
 
-    Two formulations, chosen by source count:
-
-    * N small (items): compare-count.  Sources are laid out consecutively,
-      so the owner of slot p is exactly #{i : incl[i] <= p} (empty sources
-      before the owner are counted by the prefix, sources at or after it
-      are not).  The (cap, N) compare-reduce is dense VPU work -- measured
-      2.2x faster than scatter+cummax at N=2048 (0.69 vs 1.49 ms at
-      cap=64k) -- but O(N * cap), so only for small N.
-    * N large (segments): scatter-max of source ids at their start
-      offsets + a cumulative max.  This replaces the classic searchsorted
-      formulation, whose binary-search while-loop costs ~18 ms per 128k
-      queries on TPU vs ~1.5 ms for scatter+cummax (measured; the
-      compare-count at N=64k is 17 ms).
-    """
-    N = counts.shape[0]
-    excl, incl = _exclusive_cumsum(counts)
-    total = incl[-1] if counts.size else jnp.int32(0)
-    idx = jnp.arange(cap, dtype=jnp.int32)
-    valid = idx < total
-    if N <= 4096:
-        src = jnp.sum((incl[None, :] <= idx[:, None]).astype(jnp.int32),
-                      axis=1)
-        src = jnp.minimum(src, N - 1)
-    else:
-        ids = jnp.arange(N, dtype=jnp.int32)
-        starts = jnp.where(counts > 0, excl, cap)
-        seed = jnp.zeros((cap,), jnp.int32).at[starts].max(ids, mode="drop")
-        src = jax.lax.cummax(seed)
-    local = idx - excl[src]
-    return src, local, valid
+    Integer div/mod by a non-constant vector lowers to the TPU scalar
+    core (~15+ cycles/element -- a measured hot spot of the record
+    machinery); f32 division is a VPU op.  The raw quotient would be
+    exact under correctly-rounded division (local < 2^23), but TPU
+    lowers f32 division through a reciprocal approximation that can be
+    1 ulp off -- fatal at exact multiples, where floor() turns 1 ulp
+    into an off-by-one.  The residue fixup below makes the pair exact
+    for ANY division error < 1 quotient step: correct q is the unique
+    integer with 0 <= local - q*w < w.  ``w`` must be >= 1."""
+    wf = w.astype(jnp.float32)
+    q = jnp.floor(local.astype(jnp.float32) / wf).astype(jnp.int32)
+    r = local - q * w
+    q = q + jnp.where(r >= w, 1, 0) - jnp.where(r < 0, 1, 0)
+    return q, local - q * w
 
 
 def _sign(x):
@@ -205,9 +189,14 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                      max_segments: int, max_hits: int, max_candidates: int,
                      max_deltas: int, row0=0,
                      output: str = "dense", sort_impl: str = "auto",
+                     expand_impl: str = "xla",
                      with_probes: bool = False) -> CoarseOutput:
     """row0: first tile row of this shard's slab (traced OK); tiles_y is
     the number of LOCAL rows.  Defaults cover the whole viewport.
+
+    expand_impl: "pallas" = the MXU expansion/gather engine
+    (ops/expand.py; real-TPU only), "xla" = the portable
+    scatter+cummax+gather path.  Outputs are bit-identical.
 
     with_probes=True adds ``diag["probes"]``: an ordered dict of cheap
     scalars, one per pipeline stage, each forcing exactly that stage's
@@ -231,26 +220,71 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     active = (item_ids < scene.n_items) & (scene.tags > 0)
     tags = jnp.where(active, scene.tags, 0)
 
+    def i2f(x):
+        return jax.lax.bitcast_convert_type(x.astype(jnp.int32), f32)
+
+    def exp_rows(rows, counts, cap, excl):
+        """Ragged expansion + row gather: the MXU engine on TPU, the XLA
+        scatter+cummax+gather elsewhere; outputs bit-identical (dead
+        slots carry all-zero rows on BOTH paths)."""
+        if expand_impl == "pallas":
+            return expand_rows(rows, counts, cap, excl)
+        if expand_impl == "pallas_interpret":  # test vehicle off-chip
+            return expand_rows(rows, counts, cap, excl, interpret=True)
+        return expand_rows_xla(rows, counts, cap, excl)
+
+    def ksum(values, keys, lo_b, hi_b, n_out):
+        """Keyed integer sum (ops/keyed.py): MXU histogram on TPU, XLA
+        segment_sum elsewhere; bit-identical (integer sums < 2^24 are
+        order-free exact in f32)."""
+        if expand_impl == "pallas":
+            return keyed_sum(values, keys, lo_b, hi_b, n_out)
+        if expand_impl == "pallas_interpret":
+            return keyed_sum(values, keys, lo_b, hi_b, n_out,
+                             interpret=True)
+        return keyed_sum_xla(values, keys, lo_b, hi_b, n_out)
+
     # ---- item bbox tile rects + candidate expansion -------------------
     bx0, by0, bx1, by1, bw, bh = _item_tile_rect(
         scene.bboxes, tile_w, tile_h, tiles_x, tiles_y, active, row0)
     cand_counts = bw * bh
     cand_excl, cand_incl = _exclusive_cumsum(cand_counts)
     n_cand = cand_incl[-1]
-    cand_item, cand_local, cand_valid = _db(
-        *_expand(cand_counts, max_candidates))
-    cand_w = jnp.maximum(bw[cand_item], 1)
-    cand_ty = by0[cand_item] + cand_local // cand_w
-    cand_tx = bx0[cand_item] + cand_local % cand_w
+    item_pack = jnp.stack(
+        [tags, scene.n_pts, scene.pt_offset, cand_excl,
+         bx0, by0, bx1, by1, bw], axis=1)               # (NI, 9) int32
+
+    # All per-candidate attributes ride ONE expansion (colors for the
+    # tail commands, clip rect, flags, the packed item ints, the item
+    # id): no per-attribute gathers at candidate indices.
+    cand_pack = jnp.concatenate(
+        [scene.colors_lin, scene.bboxes.astype(f32),
+         (f32(0.5) * scene.widths)[:, None],
+         jax.lax.bitcast_convert_type(scene.colors_u32, f32)[:, None],
+         scene.flags.astype(f32)[:, None],               # item flag bits
+         scene.clips,                                    # clip rect
+         jax.lax.bitcast_convert_type(item_pack, f32),
+         i2f(item_ids)[:, None]],
+        axis=1)                                          # (NI, 25)
+    ca = _db(exp_rows(cand_pack, cand_counts, max_candidates, cand_excl))
+    cf = ca[:, :15]
+    ci = jax.lax.bitcast_convert_type(ca[:, 15:24], jnp.int32)
+    cand_idx = jnp.arange(max_candidates, dtype=jnp.int32)
+    cand_valid = cand_idx < n_cand
+    cand_item = jax.lax.bitcast_convert_type(ca[:, 24], jnp.int32)
+    cand_local = cand_idx - ci[:, 3]
+    cand_w = jnp.maximum(ci[:, 8], 1)
+    c_dy, c_dx = _fdivmod(cand_local, cand_w)
+    cand_ty = ci[:, 5] + c_dy
+    cand_tx = ci[:, 4] + c_dx
     cand_tile = (cand_ty - row0) * tiles_x + cand_tx
     stage_probe("cand_expand", cand_tile)
 
     # ---- segment derivation ------------------------------------------
     # Fill items: n wrap-around segments; poly: n-1; line: 1; circle: 0.
-    # All per-item attributes a segment needs are packed into one (NI, K)
-    # matrix so expansion costs ONE row gather (TPU gathers price per
-    # gather op, not per byte: 15 separate 1-D gathers at 128k indices cost
-    # ~30 ms; one packed row gather ~2 ms -- measured).
+    # All per-item attributes a segment needs ride one expansion row
+    # (separate 1-D gathers price per gather op on the scalar core: 15
+    # gathers at 128k indices cost ~30 ms; one packed expansion ~0.1 ms).
     is_fill_item = (tags == TAG_FILL) | (tags == TAG_CLIP)
     seg_counts = jnp.where(
         is_fill_item, scene.n_pts,
@@ -258,11 +292,17 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                   jnp.where(tags == TAG_LINE, 1, 0)))
     seg_excl, seg_incl = _exclusive_cumsum(seg_counts)
     n_segs = seg_incl[-1]
-    seg_item, seg_local, seg_valid = _db(*_expand(seg_counts, max_segments))
-    item_pack = jnp.stack(
-        [tags, scene.n_pts, scene.pt_offset, cand_excl,
-         bx0, by0, bx1, by1, bw], axis=1)               # (NI, 9) int32
-    sitem = _db(item_pack[seg_item])
+    item_rows = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(item_pack, f32),
+         scene.widths[:, None], i2f(seg_excl)[:, None],
+         i2f(item_ids)[:, None]], axis=1)                # (NI, 12)
+    sitem_f = _db(exp_rows(item_rows, seg_counts, max_segments, seg_excl))
+    sitem = jax.lax.bitcast_convert_type(sitem_f[:, :9], jnp.int32)
+    seg_idx = jnp.arange(max_segments, dtype=jnp.int32)
+    seg_valid = seg_idx < n_segs
+    seg_local = seg_idx - jax.lax.bitcast_convert_type(
+        sitem_f[:, 10], jnp.int32)
+    seg_item = jax.lax.bitcast_convert_type(sitem_f[:, 11], jnp.int32)
     s_tag = sitem[:, 0]
     s_npts = sitem[:, 1]
     s_ptoff = sitem[:, 2]
@@ -285,7 +325,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     c = -(_bar(a * sx) + _bar(b * sy))
     xmn = jnp.minimum(p0, p1)
     xmx = jnp.maximum(p0, p1)
-    s_hw = f32(0.5) * scene.widths[seg_item] + f32(0.5)
+    s_hw = f32(0.5) * sitem_f[:, 9] + f32(0.5)
     is_fill_seg = seg_valid & s_is_fill_tag
     is_stroke_seg = seg_valid & ((s_tag == TAG_POLY) | (s_tag == TAG_LINE))
     stage_probe("seg_derive", a, b, c)
@@ -348,37 +388,44 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     r_y_hi = jnp.minimum(r_y_hi, s_by1)
     r_w = jnp.maximum(r_x_hi - r_x_lo + 1, 0)
     r_h = jnp.maximum(r_y_hi - r_y_lo + 1, 0)
-    hit_counts = jnp.where(seg_valid & (seg_counts[seg_item] > 0),
-                           r_w * r_h, 0)
+    # (Valid slots always map to owners with count > 0 by construction,
+    # so seg_valid alone gates.)
+    hit_counts = jnp.where(seg_valid, r_w * r_h, 0)
     stage_probe("seg_rects", hit_counts)
 
     hit_excl, hit_incl = _exclusive_cumsum(hit_counts)
     n_hits = hit_incl[-1]
-    hit_seg, hit_local, hit_valid = _db(*_expand(hit_counts, max_hits))
-    stage_probe("hit_expand", hit_seg)
+    stage_probe("hit_expand", hit_excl)
 
-    # Per-segment attributes packed into one f32 and one i32 matrix; the
-    # hit expansion then costs two row gathers instead of ~15 1-D gathers
-    # (the dominant cost of this pass before packing -- see _expand note).
+    # Per-segment attributes packed into one (S, 24) row matrix; hit
+    # records then ride ONE expansion (ops/expand.py) instead of a
+    # scatter/cummax plus ~15 1-D gathers (the dominant cost of this
+    # pass before packing -- measured, see ROADMAP).
     seg_flags = (is_fill_seg.astype(jnp.int32)
                  | (is_stroke_seg.astype(jnp.int32) << 1)
                  | (is_line_item.astype(jnp.int32) << 2))
     seg_i32 = jnp.stack(
         [seg_flags, r_x_lo, r_y_lo, jnp.maximum(r_w, 1), seg_item,
-         s_cand_excl, s_by0, jnp.maximum(s_bw, 1), s_bx0],
-        axis=1)                                          # (S, 9)
+         s_cand_excl, s_by0, jnp.maximum(s_bw, 1), s_bx0, s_by1, s_bx1],
+        axis=1)                                          # (S, 11)
     seg_all = jnp.concatenate(
         [jnp.stack([sx, sy, ex, ey, a, b, c, xmn[:, 0], xmn[:, 1],
                     xmx[:, 0], xmx[:, 1], s_hw], axis=1),
          jax.lax.bitcast_convert_type(seg_i32, f32)],
-        axis=1)                                          # (S, 21)
-    ha = _db(seg_all[hit_seg])
+        axis=1)                                          # (S, 23)
+    ha = _db(exp_rows(
+        jnp.concatenate([seg_all, i2f(hit_excl)[:, None]], axis=1),
+        hit_counts, max_hits, hit_excl))
     hf = ha[:, :12]
-    hi = jax.lax.bitcast_convert_type(ha[:, 12:], jnp.int32)
+    hi = jax.lax.bitcast_convert_type(ha[:, 12:23], jnp.int32)
+    hit_idx = jnp.arange(max_hits, dtype=jnp.int32)
+    hit_valid = hit_idx < n_hits
+    hit_local = hit_idx - jax.lax.bitcast_convert_type(ha[:, 23], jnp.int32)
     h_flags = hi[:, 0]
-    h_w = hi[:, 3]
-    h_ty = hi[:, 2] + hit_local // h_w
-    h_tx = hi[:, 1] + hit_local % h_w
+    h_w = jnp.maximum(hi[:, 3], 1)
+    h_dy, h_dx = _fdivmod(hit_local, h_w)
+    h_ty = hi[:, 2] + h_dy
+    h_tx = hi[:, 1] + h_dx
     h_item = hi[:, 4]
     h_tile = (h_ty - row0) * tiles_x + h_tx
     h_cand = hi[:, 5] + (h_ty - hi[:, 6]) * hi[:, 7] + (h_tx - hi[:, 8])
@@ -468,13 +515,27 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     slot1_args = slot1_args.at[:, 2].set(f1_ex)
     slot1_args = slot1_args.at[:, 3].set(f1_ey)
 
+    # Zero the args of non-emitting slots: the hit math produces NaN/Inf
+    # there (0/0 from all-zero dead expansion rows; x/0 y_edge on live
+    # degenerate segments) and those words are never interpreted, but they
+    # flow into the entry stream and the stage probes -- zeroing makes
+    # both deterministic and finite.
+    slot0_args = jnp.where(slot0_valid[:, None], slot0_args, 0.0)
+    slot1_args = jnp.where(slot1_valid[:, None], slot1_args, 0.0)
+
     hit_n_cmds = slot0_valid.astype(jnp.int32) + slot1_valid.astype(jnp.int32)
     stage_probe("hit_tests", hit_n_cmds, slot0_args, slot1_args)
 
     # Per-candidate emitted-command count (drives anyFill/anyStroke).
-    cand_emit = jax.ops.segment_sum(
-        hit_n_cmds, jnp.where(hit_valid, h_cand, max_candidates),
-        num_segments=max_candidates + 1)[:max_candidates]
+    # Window bounds: hits are item-major, and a hit's candidate id lies in
+    # its item's candidate range [cand_excl, cand_excl + bh * bw) -- both
+    # ends monotone across hits (dead suffix pinned at the cap).
+    h_cand_end = hi[:, 5] + (hi[:, 9] - hi[:, 6] + 1) * hi[:, 7]
+    cand_emit = ksum(
+        hit_n_cmds.astype(f32)[:, None], h_cand,
+        jnp.where(hit_valid, hi[:, 5], max_candidates),
+        jnp.where(hit_valid, h_cand_end, max_candidates + 1),
+        max_candidates)[:, 0].astype(jnp.int32)
 
     # ---- winding deltas (backdrop) ------------------------------------
     stage_probe("cand_emit", cand_emit)
@@ -487,11 +548,16 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                              jnp.maximum(d_y_hi - d_y_lo + 1, 0), 0)
     del_excl, del_incl = _exclusive_cumsum(delta_counts)
     n_deltas = del_incl[-1]
-    del_seg, del_local, del_valid = _db(*_expand(delta_counts, max_deltas))
-    da = _db(seg_all[del_seg])
+    da = _db(exp_rows(
+        jnp.concatenate([seg_all, i2f(d_y_lo)[:, None],
+                         i2f(del_excl)[:, None]], axis=1),
+        delta_counts, max_deltas, del_excl))
     df32 = da[:, :12]
-    di32 = jax.lax.bitcast_convert_type(da[:, 12:], jnp.int32)
-    d_ty = d_y_lo[del_seg] + del_local
+    di32 = jax.lax.bitcast_convert_type(da[:, 12:23], jnp.int32)
+    del_idx = jnp.arange(max_deltas, dtype=jnp.int32)
+    del_valid = del_idx < n_deltas
+    del_local = del_idx - jax.lax.bitcast_convert_type(da[:, 24], jnp.int32)
+    d_ty = jax.lax.bitcast_convert_type(da[:, 23], jnp.int32) + del_local
     d_y0 = d_ty.astype(f32) * thf
     d_a, d_b, d_c = df32[:, 4], df32[:, 5], df32[:, 6]
     # Crossing column: first tx with sign(a*x0 + b*y0 + c) == sign(a).  The
@@ -514,33 +580,24 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     d_value = -sign_a  # the reference's `backdrop -= s00` with s00 == sign(a)
     # Scatter into candidate slots: clamp the crossing column into the item's
     # bbox rect row; drop rows outside the rect or crossings right of it.
-    # (by1/bx1 reconstructed from the packed rect: by1 = by0 + bh - 1 is
-    # NOT available per segment, so carry bx1 via a small extra gather.)
     d_by0, d_bw, d_bx0 = di32[:, 6], di32[:, 7], di32[:, 8]
-    d_item = di32[:, 4]
-    d_by1 = by1[d_item]
-    d_bx1 = bx1[d_item]
+    d_by1, d_bx1 = di32[:, 9], di32[:, 10]
     in_rect_row = (d_ty >= d_by0) & (d_ty <= d_by1)
     tx_eff = jnp.maximum(tx_c, d_bx0)
     d_ok = del_valid & in_rect_row & (tx_eff <= d_bx1)
     d_cand = di32[:, 5] + (d_ty - d_by0) * d_bw + (tx_eff - d_bx0)
-    delta_scatter = jax.ops.segment_sum(
-        jnp.where(d_ok, d_value, 0.0),
+    # Same window contract as cand_emit: delta records are item-major and
+    # target their item's candidate range; values are +-1 (exact sums).
+    d_cand_end = di32[:, 5] + (di32[:, 9] - di32[:, 6] + 1) * di32[:, 7]
+    delta_scatter = ksum(
+        jnp.where(d_ok, d_value, 0.0)[:, None],
         jnp.where(d_ok, d_cand, max_candidates),
-        num_segments=max_candidates + 1)[:max_candidates]
+        jnp.where(del_valid, di32[:, 5], max_candidates),
+        jnp.where(del_valid, d_cand_end, max_candidates + 1),
+        max_candidates)[:, 0]
     # Per-(item, row) prefix sum along tx: candidates are row-major per item,
-    # so subtract the running total at each row start.
-    cand_pack = jnp.concatenate(
-        [scene.colors_lin, scene.bboxes.astype(f32),
-         (f32(0.5) * scene.widths)[:, None],
-         jax.lax.bitcast_convert_type(scene.colors_u32, f32)[:, None],
-         scene.flags.astype(f32)[:, None],               # item flag bits
-         scene.clips,                                    # clip rect
-         jax.lax.bitcast_convert_type(item_pack, f32)],
-        axis=1)                                          # (NI, 24)
-    ca = _db(cand_pack[cand_item])
-    cf = ca[:, :15]
-    ci = jax.lax.bitcast_convert_type(ca[:, 15:], jnp.int32)
+    # so subtract the running total at each row start.  (cf/ci rows were
+    # expanded up front with the candidate records.)
     csum = jnp.cumsum(delta_scatter)
     cand_row_start = (ci[:, 3]
                       + (cand_ty - ci[:, 5]) * jnp.maximum(ci[:, 8], 1))
@@ -676,7 +733,10 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         assert hit_rows.shape[1] == ENTRY_WORDS
         assert cand_rows.shape[1] == ENTRY_WORDS
         all_rows = jnp.concatenate([hit_rows, cand_rows])
-        stage_probe("rows", all_rows)
+        # Probe masks dead slots (NaN from all-zero expansion rows).
+        stage_probe("rows", jnp.where(
+            jnp.concatenate([hit_valid, cand_valid])[:, None],
+            all_rows, 0.0))
 
     # ---- global sort: stable key (tile, item, class) --------------------
     # Packed key = tile * 2*(NI+1) + item * 2 + class.  Segment order
@@ -753,51 +813,83 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         e_is_clear = live & ~src_is_hit & cand_is_clear[cidx]
         e_is_clear = e_is_clear | (live & src_is_hit & stroke_emit[hidx])
 
-    # In-tile command positions (exclusive scan of command counts) and all
-    # per-tile reductions (entry range, bail analysis) in ONE segment_max:
-    # entries are tile-sorted, so within a tile entry-index order equals
-    # command-position order, and first/last/last-opaque/last-clear are all
-    # index maxima of per-entry values (first via the negated index).
-    # The reduction runs in f32 (entry indices < 2^24 are exact; arithmetic
-    # masks replace the slow s32 selects -- same rationale as the keys).
+    # In-tile command positions and per-tile reductions.  Entries are
+    # tile-sorted with the dead suffix last, so per-tile entry ranges and
+    # command bases are CUMSUMS of per-tile counts -- a keyed histogram
+    # (MXU engine on TPU) replaces the scalar-core segment_max; the
+    # last-opaque/last-clear positions come from GLOBAL cumulative maxima
+    # (vectorized log-step scans) sampled at each tile's last entry.
+    # The dense path keeps the one-shot f32 segment_max formulation (its
+    # scatter needs per-entry positions anyway).
     cpos_excl, _ = _exclusive_cumsum(e_ncmds)
     eidx = jnp.arange(E, dtype=jnp.int32)
     assert E < 2**24, "f32 entry-index range"
-    eidx_f = jnp.arange(E, dtype=f32)
     seg_tile = jnp.minimum(e_tile, n_tiles)
-    packed = jnp.stack(
-        [-eidx_f - 1,                                 # -> first entry
-         eidx_f,                                      # -> last entry
-         # where(opaque, eidx, -1) and where(clear, eidx, -2) as exact
-         # f32 arithmetic: mask * (eidx + c) - c.
-         e_is_opaque.astype(f32) * (eidx_f + 1) - 1,  # -> last opaque
-         e_is_clear.astype(f32) * (eidx_f + 2) - 2],  # -> last clearing
-        axis=1)
-    red_f = jax.ops.segment_max(packed, seg_tile,
-                                num_segments=n_tiles + 1)[:n_tiles]
-    # Empty tiles reduce to -inf; clamp into exact-int f32 range before
-    # the i32 conversion (the clamp value keeps every downstream
-    # comparison's outcome identical to the old INT32_MIN behavior).
-    red = jnp.maximum(red_f, f32(-(E + 2))).astype(jnp.int32)
-    first_raw = -red[:, 0] - 1
-    last_raw = red[:, 1]
-    has_entries = last_raw >= 0
-    first_c = jnp.clip(first_raw, 0, E - 1)
-    last_c = jnp.clip(last_raw, 0, E - 1)
-    tile_cmd_base = jnp.where(has_entries, cpos_excl[first_c], 0)
-    tile_cmd_total = jnp.where(
-        has_entries, cpos_excl[last_c] + e_ncmds[last_c] - tile_cmd_base, 0)
-    e_pos = cpos_excl - tile_cmd_base[jnp.minimum(e_tile, n_tiles - 1)]
-    stage_probe("tile_reduce", red, e_pos)
+    if output == "entries":
+        hist = ksum(
+            jnp.stack([live.astype(f32), e_ncmds.astype(f32)], axis=1),
+            seg_tile, seg_tile, seg_tile + 1, n_tiles)
+        n_ent = hist[:, 0].astype(jnp.int32)
+        tile_cmd_total_h = hist[:, 1].astype(jnp.int32)
+        first_t = jnp.cumsum(n_ent) - n_ent
+        has_entries = n_ent > 0
+        first_raw = jnp.where(has_entries, first_t, E + 1)
+        last_raw = jnp.where(has_entries, first_t + n_ent - 1, -1)
+        first_c = jnp.clip(first_raw, 0, E - 1)
+        last_c = jnp.clip(last_raw, 0, E - 1)
+        tile_cmd_base = jnp.where(
+            has_entries, jnp.cumsum(tile_cmd_total_h) - tile_cmd_total_h, 0)
+        tile_cmd_total = jnp.where(has_entries, tile_cmd_total_h, 0)
+        gm_opq = jax.lax.cummax(jnp.where(e_is_opaque, eidx, -1))
+        gm_clr = jax.lax.cummax(jnp.where(e_is_clear, eidx, -2))
+        opq_t = jnp.where(has_entries, gm_opq[last_c], -1)
+        opq_e = jnp.where(opq_t >= first_raw, opq_t, -1)
+        clr_t = jnp.where(has_entries, gm_clr[last_c], -2)
+        clr_e = jnp.where(clr_t >= first_raw, clr_t, -2)
+        best_entry = jnp.maximum(opq_e, 0)
+        last_opaque = jnp.where(opq_e >= 0,
+                                cpos_excl[best_entry] - tile_cmd_base, -1)
+        stage_probe("tile_reduce", hist, last_opaque)
+    else:
+        # First/last/last-opaque/last-clear as index maxima of per-entry
+        # values (first via the negated index); runs in f32 (entry
+        # indices < 2^24 exact; arithmetic masks beat slow s32 selects).
+        eidx_f = jnp.arange(E, dtype=f32)
+        packed = jnp.stack(
+            [-eidx_f - 1,                                 # -> first entry
+             eidx_f,                                      # -> last entry
+             e_is_opaque.astype(f32) * (eidx_f + 1) - 1,  # -> last opaque
+             e_is_clear.astype(f32) * (eidx_f + 2) - 2],  # -> last clearing
+            axis=1)
+        red_f = jax.ops.segment_max(packed, seg_tile,
+                                    num_segments=n_tiles + 1)[:n_tiles]
+        # Empty tiles reduce to -inf; clamp into exact-int f32 range before
+        # the i32 conversion (the clamp value keeps every downstream
+        # comparison's outcome identical to the old INT32_MIN behavior).
+        red = jnp.maximum(red_f, f32(-(E + 2))).astype(jnp.int32)
+        first_raw = -red[:, 0] - 1
+        last_raw = red[:, 1]
+        has_entries = last_raw >= 0
+        first_c = jnp.clip(first_raw, 0, E - 1)
+        last_c = jnp.clip(last_raw, 0, E - 1)
+        tile_cmd_base = jnp.where(has_entries, cpos_excl[first_c], 0)
+        tile_cmd_total = jnp.where(
+            has_entries, cpos_excl[last_c] + e_ncmds[last_c] - tile_cmd_base,
+            0)
+        opq_e = jnp.maximum(red[:, 2], -1)
+        clr_e = jnp.maximum(red[:, 3], -2)
+        best_entry = jnp.maximum(opq_e, 0)
+        stage_probe("tile_reduce", red)
+
+    if output != "entries":
+        e_pos = cpos_excl - tile_cmd_base[jnp.minimum(e_tile, n_tiles - 1)]
 
     # ---- bail analysis (from the fused reduction) ---------------------
-    opq_e = jnp.maximum(red[:, 2], -1)
-    clr_e = jnp.maximum(red[:, 3], -2)
     bail = clr_e < opq_e
-    best_entry = jnp.maximum(opq_e, 0)
-    # Command position of the last opaque solid (the dense path's stream
-    # reset point); -1 when the tile has none.
-    last_opaque = jnp.where(opq_e >= 0, e_pos[best_entry], -1)
+    if output != "entries":
+        # Command position of the last opaque solid (the dense path's
+        # stream reset point); -1 when the tile has none.
+        last_opaque = jnp.where(opq_e >= 0, e_pos[best_entry], -1)
     if output == "entries":
         best_color = jax.lax.bitcast_convert_type(
             e_rows[best_entry, W_BAIL], jnp.uint32)

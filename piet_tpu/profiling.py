@@ -19,6 +19,7 @@ round-trip would otherwise swamp the numbers.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict
 
@@ -111,7 +112,11 @@ def profile_render(scene, config: RenderConfig, *, fine_impl: str = "auto",
               max_deltas=config.max_deltas,
               output="entries" if impl == "pallas" else "dense",
               sort_impl=("pallas" if impl == "pallas" and not interpret
-                         else "xla"))
+                         else "xla"),
+              # Same env-gated default as the renderer: profile what runs.
+              expand_impl=(os.environ.get("PIET_EXPAND_IMPL", "xla")
+                           if impl == "pallas" and not interpret
+                           else "xla"))
 
     def prefix_fn(k):
         names = STAGE_ORDER[:k + 1]

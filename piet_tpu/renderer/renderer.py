@@ -15,6 +15,7 @@ the portable XLA route.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -164,12 +165,19 @@ def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
         max_candidates=config.max_candidates,
         max_deltas=config.max_deltas, row0=row0,
         # Pallas bitonic sort only when the pipeline actually runs on a
-        # TPU (the Pallas fine path, not interpreted); lax.sort elsewhere
-        # -- jax.default_backend() is not trustworthy when the TPU plugin
-        # is registered but the session is pinned to CPU (the multichip
-        # dryrun), so the decision rides on fine_impl.
+        # TPU (the Pallas fine path, not interpreted); portable XLA
+        # elsewhere -- jax.default_backend() is not trustworthy when the
+        # TPU plugin is registered but the session is pinned to CPU (the
+        # multichip dryrun), so the decision rides on fine_impl.
+        # The MXU expansion/keyed-sum engines (ops/expand.py, ops/keyed.py)
+        # are opt-in (PIET_EXPAND_IMPL=pallas): bit-identical, but measured
+        # SLOWER in-pipeline at 4K tiger (12.5 vs 8.9 ms coarse) -- the
+        # XLA scatter+cummax path wins once attributes ride packed rows.
         sort_impl=("pallas" if fine_impl == "pallas" and not interpret
-                   else "xla"))
+                   else "xla"),
+        expand_impl=(os.environ.get("PIET_EXPAND_IMPL", "xla")
+                     if fine_impl == "pallas" and not interpret
+                     else "xla"))
     if fine_impl == "xla":
         # Portable path: dense (T, CAP) PTCL + pure-XLA interpreter.
         coarse = coarse_rasterize(scene, **base_kw)
