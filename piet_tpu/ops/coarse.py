@@ -63,6 +63,7 @@ from ..scene.scene import (FLAG_IN_GROUP, FLAG_POP_LAYER, TAG_CIRCLE,
                            TAG_POP)
 from .expand import expand_rows, expand_rows_xla
 from .keyed import keyed_sum, keyed_sum_xla
+from .pairing import pair_entries
 from .sort import stable_sort_multi
 
 I32_MAX = jnp.int32(2**31 - 1)
@@ -189,7 +190,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                      max_segments: int, max_hits: int, max_candidates: int,
                      max_deltas: int, row0=0,
                      output: str = "dense", sort_impl: str = "auto",
-                     expand_impl: str = "xla",
+                     expand_impl: str = "xla", pair: bool = True,
                      with_probes: bool = False) -> CoarseOutput:
     """row0: first tile row of this shard's slab (traced OK); tiles_y is
     the number of LOCAL rows.  Defaults cover the whole viewport.
@@ -803,6 +804,18 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         # Clearing state: CmdLine clears bail (PietRender.metal:90); fill
         # coverage commands do not (:102-117); candidate clears per tag.
         e_is_clear = (e_meta & META_CLEAR_BIT) != 0
+        if pair:
+            # Entry pairing (ops/pairing.py): two same-class records of a
+            # (tile, item) group per 16-word entry -- 33-43% fewer live
+            # entries on every BASELINE config; command counts unchanged.
+            p = pair_entries(stream16, sorted_keys, live, e_tile, e_ncmds,
+                             e_is_opaque, e_is_clear, n_tiles)
+            stream16, live, e_tile = p.rows, p.live, p.e_tile
+            e_ncmds, e_is_opaque, e_is_clear = (p.e_ncmds, p.e_is_opaque,
+                                                p.e_is_clear)
+            stage_probe("pairing", stream16)
+        else:
+            stage_probe("pairing", e_tile)
     else:
         src_is_hit = sorted_idx < max_hits
         hidx = jnp.minimum(sorted_idx, max_hits - 1)
@@ -812,6 +825,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         e_is_opaque = live & ~src_is_hit & is_opaque_solid[cidx]
         e_is_clear = live & ~src_is_hit & cand_is_clear[cidx]
         e_is_clear = e_is_clear | (live & src_is_hit & stroke_emit[hidx])
+        stage_probe("pairing", e_ncmds)  # no pairing on the dense path
 
     # In-tile command positions and per-tile reductions.  Entries are
     # tile-sorted with the dead suffix last, so per-tile entry ranges and
@@ -891,8 +905,10 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         # stream reset point); -1 when the tile has none.
         last_opaque = jnp.where(opq_e >= 0, e_pos[best_entry], -1)
     if output == "entries":
+        # stream16, not e_rows: best_entry indexes the (possibly paired/
+        # compacted) stream.
         best_color = jax.lax.bitcast_convert_type(
-            e_rows[best_entry, W_BAIL], jnp.uint32)
+            stream16[best_entry, W_BAIL], jnp.uint32)
     else:
         best_color = c_color_u32[cidx[best_entry]]
     solid_color = jnp.where(

@@ -47,6 +47,7 @@ STAGE_ORDER = (
     "rows",           # pre-sort 16-word row assembly
     "sort",           # the global stable sort
     "sorted_gather",  # sorted-order row gather
+    "pairing",        # same-class entry pairing + compaction
     "tile_reduce",    # fused per-tile range/bail reductions
 )
 

@@ -11,7 +11,10 @@ must be host-runnable (the driver benches on the real chip separately).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Unconditional: the agent environment exports JAX_PLATFORMS=axon, and a
+# setdefault would leave tests initializing the (possibly unreachable)
+# TPU client.  Tests are host-only by contract.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,5 +22,9 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon register (sitecustomize, runs before this file) sets the
+# jax_platforms CONFIG value, which outranks the env var -- force it
+# back, or the first backend lookup blocks initializing the TPU client.
+jax.config.update("jax_platforms", "cpu")
 if jax.default_backend() != "cpu":
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
