@@ -116,6 +116,26 @@ def test_pairing_preserves_command_sequence(name, make, cfg_kw):
         assert n_paired < n_plain, (n_paired, n_plain)
 
 
+@pytest.mark.parametrize("seed", list(range(8)) + [200, 201])
+def test_pairing_fuzz_command_sequence(seed):
+    """Random scenes (incl. degenerate shapes and clip/layer groups,
+    seeds 200+): paired and unpaired streams decode to identical
+    per-tile command sequences.  One shared config keeps this to two
+    XLA compiles for the whole sweep."""
+    from test_fuzz import SHARED_CFG, random_scene
+
+    scene = random_scene(seed, groups=seed >= 200)
+    plain = run_entries(scene, SHARED_CFG, pair=False)
+    paired = run_entries(scene, SHARED_CFG, pair=True)
+    np.testing.assert_array_equal(np.asarray(paired.solid),
+                                  np.asarray(plain.solid))
+    np.testing.assert_array_equal(np.asarray(paired.counts),
+                                  np.asarray(plain.counts))
+    for t, (a, b) in enumerate(zip(decode_stream(plain),
+                                   decode_stream(paired))):
+        assert a == b, f"seed {seed} tile {t}"
+
+
 def test_pairing_image_exact_interpret():
     """Paired entries through the Pallas interpreter (CPU) vs the oracle:
     strokes (L2 pairs) + fills (F2 pairs) in one scene."""
