@@ -42,8 +42,10 @@ int32_t pm_encoder_end_group(PmEncoder* e);
 int32_t pm_encoder_circle(PmEncoder* e, double cx, double cy, double r);
 int32_t pm_encoder_stroke_line(PmEncoder* e, double x0, double y0, double x1,
                                double y1, float width, uint32_t rgba);
+/* flags bit 0 = even-odd fill rule (extension; pass 0 for reference
+ * semantics). */
 int32_t pm_encoder_fill(PmEncoder* e, const double* pts, int32_t n,
-                        uint32_t rgba);
+                        uint32_t rgba, uint32_t flags);
 int32_t pm_encoder_polyline(PmEncoder* e, const double* pts, int32_t n,
                             uint32_t rgba, float width);
 int64_t pm_encoder_size(const PmEncoder* e);

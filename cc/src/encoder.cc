@@ -145,14 +145,16 @@ int32_t pm_encoder_stroke_line(PmEncoder* e, double x0, double y0, double x1,
 }
 
 int32_t pm_encoder_fill(PmEncoder* e, const double* pts, int32_t n,
-                        uint32_t rgba) {
+                        uint32_t rgba, uint32_t flags) {
   if (n <= 0) return -1;
   Bbox b;
   const int64_t ix = e->encode_points(pts, n, &b);
   if (ix < 0) return -1;
+  // flags bit 0 = even-odd fill rule (piet-tpu extension; the reference
+  // always writes 0 here, src/lib.rs:47-53 -- see scene/wire.py).
   struct {
     uint32_t flags, rgba, n_points, points_ix;
-  } body{0, to_be(rgba), static_cast<uint32_t>(n),
+  } body{flags, to_be(rgba), static_cast<uint32_t>(n),
          static_cast<uint32_t>(ix)};
   return e->add_item(b, piet::PietItem_Fill, &body, sizeof(body)) ? 0 : -1;
 }

@@ -315,7 +315,7 @@ uint32_t parse_color(const std::string& s) {
 // ---- minimal XML scan: elements of the first <g>, attribute extraction --
 
 struct PathElement {
-  std::string d, fill, stroke, stroke_width;
+  std::string d, fill, stroke, stroke_width, fill_rule;
   bool has_fill = false, has_stroke = false;
 };
 
@@ -340,6 +340,7 @@ std::vector<PathElement> scan_paths(const std::string& doc) {
     PathElement pe;
     if (get_attr(tag, "d", &pe.d)) {
       pe.has_fill = get_attr(tag, "fill", &pe.fill);
+      get_attr(tag, "fill-rule", &pe.fill_rule);
       pe.has_stroke = get_attr(tag, "stroke", &pe.stroke);
       get_attr(tag, "stroke-width", &pe.stroke_width);
       out.push_back(std::move(pe));
@@ -389,9 +390,12 @@ extern "C" int64_t pm_init_scene_from_svg(const char* svg_text, double scale,
     const auto& subs = flattened[i];
     if (paths[i].has_fill) {
       const uint32_t rgba = parse_color(paths[i].fill);
+      // SVG fill-rule -> flags bit 0 (matches scene/svg.py's loader).
+      const uint32_t flags = paths[i].fill_rule == "evenodd" ? 1u : 0u;
       for (const auto& sp : subs) {
         const auto pts = flat_pts(sp);
-        pm_encoder_fill(e, pts.data(), static_cast<int32_t>(sp.size()), rgba);
+        pm_encoder_fill(e, pts.data(), static_cast<int32_t>(sp.size()), rgba,
+                        flags);
       }
     }
     if (paths[i].has_stroke) {

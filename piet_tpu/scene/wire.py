@@ -16,6 +16,9 @@ Item layouts (field offsets per GenTypes.h readers):
   Circle (tag 1): tag@0 only; body zeroed (reference leaves it uninitialized)
   Line   (tag 2): tag@0 flags@4 rgba@8 width@12 start@16 end@24
   Fill   (tag 3): tag@0 flags@4 rgba@8 n_points@12 points_ix@16
+                  (flags bit 0 = even-odd fill rule, a piet-tpu extension
+                  riding the reference's always-zero word -- reference
+                  scenes encode byte-identically)
   Poly   (tag 4): tag@0 rgba@4 width@8 n_points@12 points_ix@16
 
 Colors are stored byte-swapped (``rgba.to_be()``, src/lib.rs:181) so the
@@ -27,8 +30,8 @@ from __future__ import annotations
 import struct
 import numpy as np
 
-from .scene import (Scene, SceneBuilder, TAG_CIRCLE, TAG_FILL, TAG_LINE,
-                    TAG_POLY)
+from .scene import (FLAG_EVEN_ODD, Scene, SceneBuilder, TAG_CIRCLE,
+                    TAG_FILL, TAG_LINE, TAG_POLY)
 
 SIMPLE_GROUP_HEADER_SIZE = 8   # Rust struct SimpleGroup (src/lib.rs:17-20)
 SHORT_BBOX_SIZE = 8
@@ -53,6 +56,19 @@ def encode_scene(scene: Scene) -> bytes:
             pt_byte_ix[i] = cursor
             cursor += int(scene.n_pts[i]) * POINT_SIZE
 
+    # The wire format covers the REFERENCE item state plus the fill-rule
+    # bit (which rides the reference's always-zero ``flags`` word, so
+    # reference scenes stay byte-identical).  Per-item clip rects have no
+    # wire encoding -- refuse rather than silently drop them.
+    from ..raster.ptcl import NO_CLIP
+    if not np.array_equal(scene.clips,
+                          np.broadcast_to(np.asarray(NO_CLIP, np.float32),
+                                          scene.clips.shape)):
+        raise ValueError(
+            "per-item clip rects are a piet-tpu extension with no "
+            "reference wire encoding; persist such scenes via Scene.save "
+            "(.npz) instead")
+
     out = bytearray(cursor)
     struct.pack_into("<II", out, 0, n, items_ix)
     for i in range(n):
@@ -74,7 +90,10 @@ def encode_scene(scene: Scene) -> bytes:
                              float(p0[0]), float(p0[1]),
                              float(p1[0]), float(p1[1]))
         elif tag == TAG_FILL:
-            struct.pack_into("<IIIII", out, base, tag, 0, color_be,
+            # flags word (always 0 in the reference, src/lib.rs:47-53)
+            # carries the piet fill-rule extension bit.
+            struct.pack_into("<IIIII", out, base, tag,
+                             int(scene.flags[i]) & FLAG_EVEN_ODD, color_be,
                              npts, int(pt_byte_ix[i]))
             pts = scene.points[off:off + npts].astype("<f4")
             out[pt_byte_ix[i]:pt_byte_ix[i] + npts * POINT_SIZE] = pts.tobytes()
@@ -150,7 +169,8 @@ def decode_scene(buf: bytes) -> Scene:
             rgba = struct.unpack("<I", struct.pack(">I", color_be))[0]
             pts = np.frombuffer(buf, dtype="<f4", count=npts * 2,
                                 offset=pix).reshape(npts, 2)
-            b.fill([tuple(p) for p in pts], rgba)
+            b.fill([tuple(p) for p in pts], rgba,
+                   even_odd=bool(flags & FLAG_EVEN_ODD))
         elif tag == TAG_POLY:
             _, color_be, width, npts, pix = struct.unpack_from(
                 "<IIfII", buf, base)

@@ -117,6 +117,34 @@ class TestWireFormat:
             scene2 = decode_scene(buf)
             assert encode_scene(scene2) == buf
 
+    def test_even_odd_rides_flags_word(self):
+        """The piet fill-rule extension bit round-trips on the wire
+        (riding the reference's always-zero flags word); reference
+        nonzero-rule scenes encode with the word still zero."""
+        b = SceneBuilder()
+        b.begin_group(2)
+        b.fill([(0, 0), (8, 0), (8, 8)], 0xFF, even_odd=True)
+        b.fill([(1, 1), (2, 1), (2, 2)], 0xFF00FF)
+        b.end_group()
+        buf = encode_scene(b.build())
+        (flags0,) = struct.unpack_from("<I", buf, 24 + 4)
+        (flags1,) = struct.unpack_from("<I", buf, 56 + 4)
+        assert (flags0, flags1) == (1, 0)
+        scene2 = decode_scene(buf)
+        assert list(scene2.flags) == [1, 0]
+        assert encode_scene(scene2) == buf
+
+    def test_clip_rects_refuse_wire_encoding(self):
+        """Per-item clip rects have no wire encoding; encode_scene must
+        refuse rather than silently drop them (Scene.save covers them)."""
+        b = SceneBuilder()
+        b.begin_group(1)
+        b.set_clip(0.0, 0.0, 4.0, 4.0)
+        b.circle(10, 10, 5)
+        b.end_group()
+        with pytest.raises(ValueError, match="clip"):
+            encode_scene(b.build())
+
 
 class TestBuilders:
     def test_group_count_invariant(self):
