@@ -216,7 +216,7 @@ def cmd_goldens(args) -> int:
     # 512^2: the scalar CPU oracle is O(tiles x items) in Python; this
     # keeps a full golden sweep under a minute.
     names = ["path_test", "cardioid", "circles_rects", "glyph_page",
-             "clip_star"]
+             "clip_star", "gradients"]
     worst = 0
     for name in names:
         scene = get_scene(name)

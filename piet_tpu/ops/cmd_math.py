@@ -215,6 +215,46 @@ def make_commands(X, Y, bar, cov=None):
             cmd_draw_fill, cmd_solid)
 
 
+def make_grad_commands(X, Y, bar, cov=None):
+    """Gradient resolve evaluators (linear, radial) -- the 2-stop brush
+    extension (raster/ptcl.py tags 14/15).  Same contract as
+    make_commands' evaluators; operand layout:
+      [backdrop, g0, g1, g2, c0r, c0g, c0b, c0a, c1r, c1g, c1b, c1a]
+    Linear t = saturate(g0*x + g1*y + g2); radial t = saturate(|p - (g0,
+    g1)| * g2).  Color/alpha lerp c0 -> c1 in LINEAR space, then the
+    DrawFill nonzero-winding blend (gradient draws carry no rect clip --
+    the payload rides those words -- but the clip-STACK coverage ``cov``
+    still applies).  The numpy oracle mirrors this op order exactly
+    (raster/cpu_fine.py)."""
+    if cov is None:
+        def cov():
+            return jnp.float32(1.0)
+
+    def _grad(radial):
+        def cmd(arg, r, g, b, df, area):
+            if radial:
+                dx = X - arg(1)
+                dy = Y - arg(2)
+                t = _saturate(jnp.sqrt(bar(dx * dx) + bar(dy * dy))
+                              * arg(3))
+            else:
+                t = _saturate(bar(arg(1) * X) + bar(arg(2) * Y) + arg(3))
+            fr = arg(4) + bar((arg(8) - arg(4)) * t)
+            fg = arg(5) + bar((arg(9) - arg(5)) * t)
+            fb = arg(6) + bar((arg(10) - arg(6)) * t)
+            fa = arg(7) + bar((arg(11) - arg(7)) * t)
+            x = area + arg(0)
+            alpha = jnp.minimum(jnp.abs(x), 1.0) * cov()
+            w = bar(fa * alpha)
+            r = r + bar((fr - r) * w)
+            g = g + bar((fg - g) * w)
+            b = b + bar((fb - b) * w)
+            return r, g, b, df, jnp.zeros_like(area)
+        return cmd
+
+    return _grad(False), _grad(True)
+
+
 def srgb_encode_u32(ch, bar):
     """Deterministic linear f32 -> u8 code as uint32.
 

@@ -58,7 +58,9 @@ from ..raster.ptcl import (ARG_WORDS, CMD_CIRCLE, CMD_DRAW_FILL, CMD_FILL,
                            CMD_FILL_EDGE, CMD_LINE, CMD_SOLID, CMD_STROKE)
 from ..raster.ptcl import (CMD_BEGIN_CLIP, CMD_BEGIN_LAYER, CMD_END_CLIP,
                            CMD_END_LAYER)
-from ..scene.scene import (FLAG_IN_GROUP, FLAG_POP_LAYER, TAG_CIRCLE,
+from ..raster.ptcl import CMD_DRAW_LIN_GRAD, CMD_DRAW_RAD_GRAD
+from ..scene.scene import (FLAG_BRUSH_LINEAR, FLAG_BRUSH_RADIAL,
+                           FLAG_IN_GROUP, FLAG_POP_LAYER, TAG_CIRCLE,
                            TAG_CLIP, TAG_FILL, TAG_LAYER, TAG_LINE, TAG_POLY,
                            TAG_POP)
 from .expand import expand_rows, expand_rows_xla
@@ -66,7 +68,6 @@ from .keyed import keyed_sum, keyed_sum_xla
 from .pairing import pair_entries
 from .sort import stable_sort_multi
 
-I32_MAX = jnp.int32(2**31 - 1)
 
 # Barriers after the expansion/gather outputs keep XLA:TPU from fusing
 # downstream elementwise work INTO the (scalar-executed) gather loops --
@@ -97,6 +98,7 @@ class DeviceScene(NamedTuple):
     points: jax.Array      # (NP, 2) f32
     flags: jax.Array       # (NI,) uint32; bit 0 = even-odd fill rule
     clips: jax.Array       # (NI, 4) f32 clip rect (piet clip extension)
+    grads: jax.Array       # (NI, 8) f32 gradient-brush payload (extension)
     n_items: jax.Array     # () int32
 
 
@@ -265,11 +267,13 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
          scene.flags.astype(f32)[:, None],               # item flag bits
          scene.clips,                                    # clip rect
          jax.lax.bitcast_convert_type(item_pack, f32),
-         i2f(item_ids)[:, None]],
-        axis=1)                                          # (NI, 25)
+         i2f(item_ids)[:, None],
+         scene.grads[:, :7]],                            # gradient payload
+        axis=1)                                          # (NI, 32)
     ca = _db(exp_rows(cand_pack, cand_counts, max_candidates, cand_excl))
     cf = ca[:, :15]
     ci = jax.lax.bitcast_convert_type(ca[:, 15:24], jnp.int32)
+    cg = ca[:, 25:32]      # gradient payload (params3 + c1 linear rgba)
     cand_idx = jnp.arange(max_candidates, dtype=jnp.int32)
     cand_valid = cand_idx < n_cand
     cand_item = jax.lax.bitcast_convert_type(ca[:, 24], jnp.int32)
@@ -617,10 +621,18 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     cflags = cf[:, 10].astype(jnp.int32)
     c_even_odd = (cflags & 1).astype(f32)
     c_ingroup = (cflags & FLAG_IN_GROUP) != 0
+    # Gradient brush bits (extension): the fill's RESOLVE becomes a
+    # gradient draw; interior (winding-only) tiles get the same draw --
+    # a gradient can never bail to a per-tile solid color.
+    c_grad_lin = (cflags & FLAG_BRUSH_LINEAR) != 0
+    c_grad_rad = (cflags & FLAG_BRUSH_RADIAL) != 0
+    c_is_grad_item = c_grad_lin | c_grad_rad
 
     is_circle = cand_valid & (c_tag_item == TAG_CIRCLE)
-    is_drawfill = cand_valid & (c_tag_item == TAG_FILL) & c_any
-    is_solid = cand_valid & (c_tag_item == TAG_FILL) & ~c_any & c_backdrop_nz
+    is_fill_cand = cand_valid & (c_tag_item == TAG_FILL)
+    is_grad = is_fill_cand & c_is_grad_item & (c_any | c_backdrop_nz)
+    is_drawfill = is_fill_cand & ~c_is_grad_item & c_any
+    is_solid = (is_fill_cand & ~c_is_grad_item & ~c_any & c_backdrop_nz)
     is_stroke = cand_valid & ((c_tag_item == TAG_POLY)
                               | (c_tag_item == TAG_LINE)) & c_any
     # Clip / layer group commands (extension): emitted in EVERY candidate
@@ -633,18 +645,20 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     is_group_cmd = is_clip | is_layer | is_pop
 
     cand_cmd_valid = (is_circle | is_drawfill | is_solid | is_stroke
-                      | is_group_cmd)
+                      | is_grad | is_group_cmd)
     cand_tag = jnp.where(
         is_circle, CMD_CIRCLE,
         jnp.where(is_drawfill, CMD_DRAW_FILL,
                   jnp.where(is_solid, CMD_SOLID,
-                            jnp.where(is_clip, CMD_BEGIN_CLIP,
-                                      jnp.where(is_layer, CMD_BEGIN_LAYER,
-                                                jnp.where(pop_layer,
-                                                          CMD_END_LAYER,
-                                                          jnp.where(is_pop,
-                                                                    CMD_END_CLIP,
-                                                                    CMD_STROKE)))))))
+                            jnp.where(is_grad & c_grad_rad, CMD_DRAW_RAD_GRAD,
+                                      jnp.where(is_grad, CMD_DRAW_LIN_GRAD,
+                                                jnp.where(is_clip, CMD_BEGIN_CLIP,
+                                                          jnp.where(is_layer, CMD_BEGIN_LAYER,
+                                                                    jnp.where(pop_layer,
+                                                                              CMD_END_LAYER,
+                                                                              jnp.where(is_pop,
+                                                                                        CMD_END_CLIP,
+                                                                                        CMD_STROKE)))))))))
     cbb = cf[:, 4:8]
     chw = cf[:, 8]
     cand_args = jnp.zeros((max_candidates, ARG_WORDS), f32)
@@ -671,16 +685,30 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     a2 = jnp.where(is_group_cmd, 0.0, a2)
     a3 = jnp.where(is_group_cmd, 0.0, a3)
     a4 = jnp.where(is_group_cmd, 0.0, a4)
+    # Gradient resolve operands (raster/ptcl.py tags 14/15): [backdrop,
+    # params3, c0 rgba, c1 rgba] -- ALL 12 words; no rect clip.
+    a0 = jnp.where(is_grad, backdrop, a0)
+    a1 = jnp.where(is_grad, cg[:, 0], a1)
+    a2 = jnp.where(is_grad, cg[:, 1], a2)
+    a3 = jnp.where(is_grad, cg[:, 2], a3)
+    a4 = jnp.where(is_grad, c_color_lin[:, 0], a4)
+    a5 = jnp.where(is_grad, c_color_lin[:, 1], a5)
+    a6 = jnp.where(is_grad, c_color_lin[:, 2], 0.0)
+    a7 = jnp.where(is_grad, c_color_lin[:, 3], 0.0)
     cand_args = cand_args.at[:, 0].set(a0)
     cand_args = cand_args.at[:, 1].set(a1)
     cand_args = cand_args.at[:, 2].set(a2)
     cand_args = cand_args.at[:, 3].set(a3)
     cand_args = cand_args.at[:, 4].set(a4)
     cand_args = cand_args.at[:, 5].set(a5)
+    cand_args = cand_args.at[:, 6].set(a6)
+    cand_args = cand_args.at[:, 7].set(a7)
     # Draw-command clip rect (words 8-11; piet clip extension).  Group
-    # commands carry no rect (the oracle zero-pads their args).
+    # commands carry no rect (the oracle zero-pads their args); gradient
+    # resolves carry the second stop's linear rgba there instead.
     cand_args = cand_args.at[:, 8:12].set(
-        jnp.where(is_group_cmd[:, None], 0.0, cf[:, 11:15]))
+        jnp.where(is_grad[:, None], cg[:, 3:7],
+                  jnp.where(is_group_cmd[:, None], 0.0, cf[:, 11:15])))
 
     # A clipped solid cannot bail the tile (the clip may not cover it);
     # must match the oracle's predicate exactly (raster/ptcl.py::solid).
@@ -692,7 +720,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     # DrawFill (TileEncoder, PietRender.metal:81,90,99,124) -- clipped or
     # in-group solids (partial draws, raster/ptcl.py::solid), and all
     # clip/layer group commands.
-    cand_is_clear = (is_circle | is_drawfill | is_stroke
+    cand_is_clear = (is_circle | is_drawfill | is_stroke | is_grad
                      | (is_solid & ~(c_uncl & ~c_ingroup)) | is_group_cmd)
 
     # ---- pre-sort row assembly (entries output) -----------------------
@@ -723,8 +751,11 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         cand_rows = jnp.concatenate(
             [cand_tag0.astype(f32)[:, None],             # W_S0_TAG
              cand_args[:, :7],                           # W_S0_ARG + 0..6
-             jnp.zeros((max_candidates, 1), f32),        # W_S1_TAG (empty)
-             cand_args[:, 8:12],                         # clip rect
+             # W_S1_TAG: empty (0) for every candidate EXCEPT gradient
+             # resolves, whose arg 7 (c0 alpha, in [0,1] -- never a valid
+             # tag value) rides here; see layout/entry_stream.py.
+             cand_args[:, 7:8],
+             cand_args[:, 8:12],                         # clip rect | c1
              jax.lax.bitcast_convert_type(
                  jnp.where(is_opaque_solid, c_color_u32,
                            jnp.uint32(0)), f32)[:, None],  # W_BAIL

@@ -47,8 +47,10 @@ from ..raster.ptcl import (ARG_WORDS, CMD_BEGIN_CLIP, CMD_BEGIN_LAYER,
                            CMD_END_LAYER, CMD_FILL, CMD_FILL_EDGE, CMD_LINE,
                            CMD_SOLID, CMD_STROKE)
 from ..scene.scene import MAX_GROUP_DEPTH
+from ..raster.ptcl import CMD_DRAW_LIN_GRAD, CMD_DRAW_RAD_GRAD
 from .cmd_math import (DF2_INIT, DF_INIT, clip_alpha, edge_delta, fill_delta,
-                       line_field_sq, make_commands, pack_rgba8)
+                       line_field_sq, make_commands, make_grad_commands,
+                       pack_rgba8)
 
 # Commands DMA'd per double-buffer slot: 128 tags (512 B) + 128xARG_WORDS
 # f32 operands -- small enough for SMEM, and chunk boundaries stay
@@ -305,6 +307,8 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
     # extension); unclipped tiles read the constant-1.0 plane 0 (an exact
     # bitwise no-op multiply).
     cmds = make_commands(X, Y, bar, cov=lambda: cov_s[depth_s[0]])
+    grad_lin, grad_rad = make_grad_commands(
+        X, Y, bar, cov=lambda: cov_s[depth_s[0]])
     shp = (tile_h, tile_w)
 
     # ---- state in VMEM scratch -----------------------------------------
@@ -463,6 +467,24 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                     g_s[:] = sv_g[ld] + (g_s[:] - sv_g[ld]) * alpha
                     b_s[:] = sv_b[ld] + (b_s[:] - sv_b[ld]) * alpha
                     depth_s[1] = ld
+
+                # Gradient resolves (2-stop brush extension): operand
+                # words ride s0arg(0..11) -- word 8 (W_S1_TAG) carries
+                # arg 7, legal because the payload there (c0 alpha) is
+                # in [0,1] and never a valid tag (entry_stream.py).
+                def _apply_grad(cmd):
+                    r2, g2, b2, _, area2 = cmd(
+                        s0arg, r_s[:], g_s[:], b_s[:], df_s[:], area_s[:])
+                    r_s[:], g_s[:], b_s[:] = r2, g2, b2
+                    area_s[:] = area2
+
+                @pl.when(tag0 == CMD_DRAW_LIN_GRAD)
+                def _():
+                    _apply_grad(grad_lin)
+
+                @pl.when(tag0 == CMD_DRAW_RAD_GRAD)
+                def _():
+                    _apply_grad(grad_rad)
 
         lo = jnp.where(ci == 0, skip, 0)
         hi = jnp.minimum(total - ci * SC_ENTRIES, SC_ENTRIES)

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from ..raster.ptcl import ARG_WORDS
 from ..scene.scene import MAX_GROUP_DEPTH
-from .cmd_math import DF_INIT, clip_alpha, make_commands, pack_rgba8
+from .cmd_math import (DF_INIT, clip_alpha, make_commands,
+                       make_grad_commands, pack_rgba8)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w",
@@ -125,11 +126,21 @@ def fine_rasterize_xla(counts: jax.Array, tags: jax.Array, args: jax.Array,
         def noop(words, st):
             return st  # tag 9 (Bail) never appears in the arrays
 
+        def lift_grad(radial):
+            def branch(words, st):
+                cov = cur_cov_of(st)
+                lin, rad = make_grad_commands(X, Y, bar, cov=cov)
+                cmd = rad if radial else lin
+                r, g, b, df, area = cmd(lambda k: words[k], *st[:5])
+                return (r, g, b, df, area) + st[5:]
+            return branch
+
         branches = tuple(lift_core(i) for i in range(7)) + (
-            noop, begin_clip, end_clip, begin_layer, end_layer)
+            noop, begin_clip, end_clip, begin_layer, end_layer,
+            lift_grad(False), lift_grad(True))
 
         def body(j, st):
-            idx = jnp.clip(tag_row[j] - 2, 0, 11)
+            idx = jnp.clip(tag_row[j] - 2, 0, 13)
             new = jax.lax.switch(idx, branches, arg_row[j], st)
             live = j < count
             return jax.tree.map(

@@ -46,7 +46,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-I32_MAX = jnp.int32(2**31 - 1)
 
 
 def _pad_value(dtype):

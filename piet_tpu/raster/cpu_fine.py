@@ -28,7 +28,7 @@ from ..scene.color import srgb_encode_u8
 from .ptcl import (CMD_CIRCLE, CMD_DRAW_FILL, CMD_FILL, CMD_FILL_EDGE,
                    CMD_LINE, CMD_SOLID, CMD_STROKE, Ptcl,
                    CMD_BEGIN_CLIP, CMD_END_CLIP, CMD_BEGIN_LAYER,
-                   CMD_END_LAYER)
+                   CMD_END_LAYER, CMD_DRAW_LIN_GRAD, CMD_DRAW_RAD_GRAD)
 
 F = np.float32
 DF_INIT = F(1e9)
@@ -153,6 +153,28 @@ def render_tile(tags: np.ndarray, args: np.ndarray, count: int,
             fg = av[:4].astype(F)
             w = (fg[3] * (_clip_cov(av, X, Y) * cov_stack[-1]))[..., None]
             rgb = rgb + (fg[None, None, :3] - rgb) * w
+        elif tag in (CMD_DRAW_LIN_GRAD, CMD_DRAW_RAD_GRAD):
+            # Gradient fill resolve (2-stop brush extension): like
+            # DrawFill with the color lerped per pixel in LINEAR space.
+            # Op order mirrors ops/cmd_math.py::make_grad_commands
+            # exactly (each multiply/add rounded separately).
+            backdrop = F(av[0])
+            if tag == CMD_DRAW_RAD_GRAD:
+                dx = X - F(av[1])
+                dy = Y - F(av[2])
+                t = _saturate(np.sqrt(dx * dx + dy * dy, dtype=F) * F(av[3]))
+            else:
+                t = _saturate(F(av[1]) * X + F(av[2]) * Y + F(av[3]))
+            fr = F(av[4]) + (F(av[8]) - F(av[4])) * t
+            fg = F(av[5]) + (F(av[9]) - F(av[5])) * t
+            fb = F(av[6]) + (F(av[10]) - F(av[6])) * t
+            fa = F(av[7]) + (F(av[11]) - F(av[7])) * t
+            x = area + backdrop
+            alpha = np.minimum(np.abs(x), F(1.0)) * cov_stack[-1]
+            w = (fa * alpha)[..., None]
+            fgp = np.stack([fr, fg, fb], axis=-1)
+            rgb = rgb + (fgp - rgb) * w
+            area = np.zeros_like(area)
         elif tag == CMD_BEGIN_CLIP:
             backdrop = F(av[0])
             x = area + backdrop

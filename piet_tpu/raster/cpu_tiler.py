@@ -33,7 +33,8 @@ from typing import List
 import numpy as np
 
 from ..config import RenderConfig
-from ..scene.scene import (FLAG_EVEN_ODD, FLAG_IN_GROUP, FLAG_POP_LAYER,
+from ..scene.scene import (FLAG_BRUSH_LINEAR, FLAG_BRUSH_RADIAL,
+                           FLAG_EVEN_ODD, FLAG_IN_GROUP, FLAG_POP_LAYER,
                            Scene, TAG_CIRCLE, TAG_CLIP, TAG_FILL, TAG_LAYER,
                            TAG_LINE, TAG_POLY, TAG_POP)
 from .ptcl import Ptcl, TileCmdEncoder, assemble_ptcl
@@ -127,10 +128,19 @@ def _fill_coverage(enc: TileCmdEncoder, seg: _ItemSegs,
 
 def _fill_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int,
                even_odd: bool, clip, in_group: bool,
-               x0: F, y0: F, tw: F, th: F) -> None:
-    """Reference fill logic for one (item, tile)."""
+               x0: F, y0: F, tw: F, th: F, grad=None, radial=False) -> None:
+    """Reference fill logic for one (item, tile); ``grad`` (a Scene.grads
+    row) switches the resolve to a gradient draw (gradient extension)."""
     any_fill, backdrop = _fill_coverage(enc, seg, x0, y0, tw, th)
-    if any_fill:
+    if grad is not None:
+        # Gradient brush: the tile can never bail to a solid (the color
+        # varies per pixel), so interior tiles (winding only) get the
+        # same draw command with area == 0.
+        if any_fill or backdrop != F(0.0):
+            from ..scene.color import decode_color_linear
+            c0 = decode_color_linear(np.uint32(color))
+            enc.draw_grad(int(backdrop), grad[:3], c0, grad[3:7], radial)
+    elif any_fill:
         enc.draw_fill(int(backdrop), color, even_odd=even_odd, clip=clip)
     elif backdrop != F(0.0):
         enc.solid(color, clip=clip, in_group=in_group)
@@ -220,11 +230,15 @@ def cpu_tile_scene(scene: Scene, config: RenderConfig) -> Ptcl:
                     _line_tile(enc, segs[i], color, width,
                                tuple(scene.clips[i]), x0, y0, tw, th)
                 elif tag == TAG_FILL:
+                    fl = int(scene.flags[i])
+                    is_grad = fl & (FLAG_BRUSH_LINEAR | FLAG_BRUSH_RADIAL)
                     _fill_tile(enc, segs[i], color,
-                               bool(scene.flags[i] & FLAG_EVEN_ODD),
+                               bool(fl & FLAG_EVEN_ODD),
                                tuple(scene.clips[i]),
-                               bool(scene.flags[i] & FLAG_IN_GROUP),
-                               x0, y0, tw, th)
+                               bool(fl & FLAG_IN_GROUP),
+                               x0, y0, tw, th,
+                               grad=scene.grads[i] if is_grad else None,
+                               radial=bool(fl & FLAG_BRUSH_RADIAL))
                 elif tag == TAG_POLY:
                     _poly_tile(enc, segs[i], color, width,
                                tuple(scene.clips[i]), x0, y0, tw, th)

@@ -54,6 +54,14 @@ CMD_BEGIN_CLIP = 10   # [backdrop, even_odd]: area -> clip coverage, push
 CMD_END_CLIP = 11     # []: pop the clip stack
 CMD_BEGIN_LAYER = 12  # []: push the rgb state (group opacity layer)
 CMD_END_LAYER = 13    # [alpha]: composite pushed vs current rgb
+# -- gradient resolves (2-stop brush extension; see scene.LinearGradient).
+# Payload uses ALL 12 arg words, so gradient draws carry no rect clip
+# (arbitrary clip GROUPS still apply) and use nonzero winding:
+#   [backdrop, g0, g1, g2, c0r, c0g, c0b, c0a, c1r, c1g, c1b, c1a]
+# where (g0,g1,g2) = (gx,gy,gofs) linear (t = gx*x + gy*y + gofs) or
+# (cx,cy,1/r) radial (t = |p - c| / r), precomputed on host in f32.
+CMD_DRAW_LIN_GRAD = 14
+CMD_DRAW_RAD_GRAD = 15
 
 ARG_WORDS = 12
 
@@ -162,6 +170,16 @@ class TileCmdEncoder:
     def end_layer(self, alpha: float) -> None:
         self.solid_color = 0
         self._push(CMD_END_LAYER, [float(alpha)])
+
+    def draw_grad(self, backdrop: int, params3, c0_lin, c1_lin,
+                  radial: bool) -> None:
+        """Gradient fill resolve (gradient extension): like draw_fill but
+        the color is lerp(c0, c1, t) per pixel; colors arrive pre-decoded
+        LINEAR (c0 from the scene color table, c1 from Scene.grads)."""
+        self.solid_color = 0
+        tag = CMD_DRAW_RAD_GRAD if radial else CMD_DRAW_LIN_GRAD
+        self._push(tag, [float(backdrop)] + [float(v) for v in params3]
+                   + [float(v) for v in c0_lin] + [float(v) for v in c1_lin])
 
     def draw_fill(self, backdrop: int, rgba: int, even_odd: bool = False,
                   clip=NO_CLIP) -> None:

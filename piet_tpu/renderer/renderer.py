@@ -65,6 +65,7 @@ def prepare_scene(scene: Scene, config: RenderConfig) -> DeviceScene:
         points=jnp.asarray(pad(scene.points, config.max_points)),
         flags=jnp.asarray(pad(scene.flags, config.max_items)),
         clips=jnp.asarray(pad(scene.clips, config.max_items)),
+        grads=jnp.asarray(pad(scene.grads, config.max_items)),
         n_items=jnp.int32(ni),
     )
 
@@ -101,7 +102,8 @@ def pack_scene(scene: Scene, config: RenderConfig) -> np.ndarray:
         pad_u32(colors_lin, NI), pad_u32(scene.widths, NI),
         pad_u32(scene.bboxes, NI), pad_u32(scene.pt_offset, NI),
         pad_u32(scene.n_pts, NI), pad_u32(scene.flags, NI),
-        pad_u32(scene.clips, NI), pad_u32(scene.points, NP),
+        pad_u32(scene.clips, NI), pad_u32(scene.grads, NI),
+        pad_u32(scene.points, NP),
         np.array([ni], np.uint32)])
 
 
@@ -109,7 +111,8 @@ def unpack_scene(buf: jax.Array, config: RenderConfig) -> DeviceScene:
     """Slice a packed staging buffer back into a DeviceScene (traceable;
     static offsets, so XLA sees bitcasts of buffer views)."""
     NI, NP = config.max_items, config.max_points
-    widths = [NI, NI, 4 * NI, NI, 4 * NI, NI, NI, NI, 4 * NI, 2 * NP, 1]
+    widths = [NI, NI, 4 * NI, NI, 4 * NI, NI, NI, NI, 4 * NI, 8 * NI,
+              2 * NP, 1]
     parts = []
     off = 0
     for w in widths:
@@ -127,8 +130,9 @@ def unpack_scene(buf: jax.Array, config: RenderConfig) -> DeviceScene:
         n_pts=i32(parts[6]),
         flags=parts[7],
         clips=f32(parts[8]).reshape(NI, 4),
-        points=f32(parts[9]).reshape(NP, 2),
-        n_items=i32(parts[10])[0],
+        grads=f32(parts[9]).reshape(NI, 8),
+        points=f32(parts[10]).reshape(NP, 2),
+        n_items=i32(parts[11])[0],
     )
 
 
@@ -177,7 +181,10 @@ def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
                    else "xla"),
         expand_impl=(os.environ.get("PIET_EXPAND_IMPL", "xla")
                      if fine_impl == "pallas" and not interpret
-                     else "xla"))
+                     else "xla"),
+        # Entry pairing (ops/pairing.py) is on by default; PIET_PAIR=0
+        # gives the A/B lever for on-chip measurement.
+        pair=os.environ.get("PIET_PAIR", "1") == "1")
     if fine_impl == "xla":
         # Portable path: dense (T, CAP) PTCL + pure-XLA interpreter.
         coarse = coarse_rasterize(scene, **base_kw)

@@ -273,6 +273,41 @@ def make_clip_star(size: int = 256) -> Scene:
     return b.build()
 
 
+def make_gradient_demo(size: int = 256) -> Scene:
+    """Gradient-brush demo (2-stop extension): a linear-gradient sky
+    square, a radial-gradient disk, a linear-gradient star (winding
+    interior exercises the no-segment gradient tile path), and a solid
+    triangle for contrast."""
+    import math as _m
+
+    from .scene import LinearGradient, RadialGradient
+
+    b = SceneBuilder()
+    s = float(size)
+    # Overhang by 1px: an edge EXACTLY on a tile boundary contributes no
+    # coverage (faithful reference semantics -- strict sign tests,
+    # PietRender.metal:345-353), so axis-aligned demo rects avoid it.
+    b.fill([(-1.0, -1.0), (s + 1.0, -1.0), (s + 1.0, s + 1.0),
+            (-1.0, s + 1.0)],
+           LinearGradient((0.0, 0.0), (0.0, s), 0x1030A0FF, 0xF0D080FF))
+    k = 40
+    disk = [(s * 0.32 + s * 0.26 * _m.cos(2 * _m.pi * i / k),
+             s * 0.62 + s * 0.26 * _m.sin(2 * _m.pi * i / k))
+            for i in range(k)]
+    b.fill(disk, RadialGradient((s * 0.28, s * 0.56), s * 0.3,
+                                0xFFF0C0FF, 0xC03000FF))
+    star = []
+    for i in range(5):
+        th = -_m.pi / 2 + i * 4 * _m.pi / 5
+        star.append((s * 0.72 + s * 0.22 * _m.cos(th),
+                     s * 0.3 + s * 0.22 * _m.sin(th)))
+    b.fill(star, LinearGradient((s * 0.5, s * 0.08), (s * 0.94, s * 0.52),
+                                0x00E080FF, 0x6000C0FF))
+    b.fill([(s * 0.55, s * 0.92), (s * 0.9, s * 0.7), (s * 0.9, s * 0.92)],
+           0x202020FF)
+    return b.build()
+
+
 SCENES = {
     "path_test": make_path_test,
     "cardioid": make_cardioid,
@@ -282,6 +317,7 @@ SCENES = {
     "star_evenodd": make_star_evenodd,
     "clipped_demo": make_clipped_demo,
     "clip_star": make_clip_star,
+    "gradients": make_gradient_demo,
 }
 
 

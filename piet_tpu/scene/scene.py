@@ -51,6 +51,58 @@ FLAG_EVEN_ODD = 1
 FLAG_IN_GROUP = 2
 #: On TAG_POP: the innermost push is a layer (else a clip).
 FLAG_POP_LAYER = 4
+#: Fill brush kind (gradient extension): linear / radial 2-stop gradient.
+#: Zero brush bits = solid color (the reference's only brush).
+FLAG_BRUSH_LINEAR = 8
+FLAG_BRUSH_RADIAL = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class LinearGradient:
+    """2-stop linear gradient brush (piet Brush extension; the reference
+    encodes only solid colors, src/lib.rs:177-207).
+
+    Color at pixel p is lerp(rgba0, rgba1, t) in LINEAR space with
+    t = clamp(dot(p - p0, p1 - p0) / |p1 - p0|^2, 0, 1); a degenerate axis
+    (p0 == p1) paints rgba0 everywhere."""
+    p0: Tuple[float, float]
+    p1: Tuple[float, float]
+    rgba0: int
+    rgba1: int
+
+    def params3(self) -> Tuple[float, float, float]:
+        """Host-precomputed affine form (gx, gy, g0): t = gx*x + gy*y + g0.
+
+        Computed ONCE here in f32 (each op rounded) and consumed verbatim
+        by both the CPU oracle and the device kernels, so there is no
+        cross-implementation precision concern."""
+        x0, y0 = np.float32(self.p0[0]), np.float32(self.p0[1])
+        x1, y1 = np.float32(self.p1[0]), np.float32(self.p1[1])
+        dx, dy = np.float32(x1 - x0), np.float32(y1 - y0)
+        d2 = np.float32(np.float32(dx * dx) + np.float32(dy * dy))
+        if d2 <= 0.0:
+            return (0.0, 0.0, 0.0)
+        gx = np.float32(dx / d2)
+        gy = np.float32(dy / d2)
+        g0 = np.float32(-(np.float32(gx * x0) + np.float32(gy * y0)))
+        return (float(gx), float(gy), float(g0))
+
+
+@dataclasses.dataclass(frozen=True)
+class RadialGradient:
+    """2-stop radial gradient brush: color = lerp(rgba0, rgba1, t) with
+    t = clamp(|p - center| / radius, 0, 1); radius <= 0 paints rgba0."""
+    center: Tuple[float, float]
+    radius: float
+    rgba0: int
+    rgba1: int
+
+    def params3(self) -> Tuple[float, float, float]:
+        """(cx, cy, 1/radius) with the division done once on host (f32)."""
+        r = np.float32(self.radius)
+        inv_r = float(np.float32(1.0) / r) if r > 0 else 0.0
+        return (float(np.float32(self.center[0])),
+                float(np.float32(self.center[1])), inv_r)
 
 
 def quantize_bbox(x0: float, y0: float, x1: float, y1: float
@@ -88,6 +140,11 @@ class Scene:
     #: piet clip extension; NO_CLIP bounds mean unclipped.  Like flags,
     #: not part of the reference wire format.
     clips: np.ndarray = None  # (N, 4) float32
+    #: per-item gradient-brush payload (gradient extension; all-zero for
+    #: solid brushes): words 0-2 = host-precomputed geometry params
+    #: (LinearGradient/RadialGradient.params3), words 3-6 = the second
+    #: stop's LINEAR rgba (first stop rides ``colors``), word 7 = pad.
+    grads: np.ndarray = None  # (N, 8) float32
 
     @property
     def n_items(self) -> int:
@@ -104,7 +161,8 @@ class Scene:
         np.savez_compressed(
             path, tags=self.tags, colors=self.colors, widths=self.widths,
             bboxes=self.bboxes, pt_offset=self.pt_offset, n_pts=self.n_pts,
-            points=self.points, flags=self.flags, clips=self.clips)
+            points=self.points, flags=self.flags, clips=self.clips,
+            grads=self.grads)
 
     @classmethod
     def load(cls, path: str) -> "Scene":
@@ -113,7 +171,8 @@ class Scene:
                     bboxes=z["bboxes"], pt_offset=z["pt_offset"],
                     n_pts=z["n_pts"], points=z["points"],
                     flags=z["flags"] if "flags" in z else None,
-                    clips=z["clips"] if "clips" in z else None)
+                    clips=z["clips"] if "clips" in z else None,
+                    grads=z["grads"] if "grads" in z else None)
         scene.validate()
         return scene
 
@@ -127,11 +186,14 @@ class Scene:
                 self, "clips",
                 np.broadcast_to(np.asarray(NO_CLIP, np.float32),
                                 (n, 4)).copy())
+        if self.grads is None:
+            object.__setattr__(self, "grads", np.zeros((n, 8), np.float32))
 
     def validate(self) -> None:
         n = self.n_items
         assert self.flags.shape == (n,)
         assert self.clips.shape == (n, 4)
+        assert self.grads.shape == (n, 8)
         assert self.colors.shape == (n,)
         assert self.widths.shape == (n,)
         assert self.bboxes.shape == (n, 4)
@@ -161,6 +223,7 @@ class SceneBuilder:
         self._points: List[Tuple[float, float]] = []
         self._flags: List[int] = []
         self._clips: List[Tuple[float, float, float, float]] = []
+        self._grads: List[Tuple[float, ...]] = []
         self._clip: Tuple[float, float, float, float] = None
         self._declared: int = -1
         self._group_stack: List[Tuple[str, float]] = []  # (kind, alpha)
@@ -194,7 +257,8 @@ class SceneBuilder:
         return off, (min(xs), min(ys), max(xs), max(ys))
 
     def _add_item(self, tag: int, color: int, width: float,
-                  off: int, n: int, bbox, flags: int = 0) -> None:
+                  off: int, n: int, bbox, flags: int = 0,
+                  grad: Tuple[float, ...] = None) -> None:
         from ..raster.ptcl import NO_CLIP
         if self._group_stack:
             flags |= FLAG_IN_GROUP
@@ -207,6 +271,7 @@ class SceneBuilder:
         self._flags.append(flags & 0xFFFFFFFF)
         self._clips.append(tuple(map(float, self._clip))
                            if self._clip is not None else NO_CLIP)
+        self._grads.append(grad if grad is not None else (0.0,) * 8)
 
     def circle(self, cx: float, cy: float, r: float) -> None:
         """Encode a circle (bbox only, like src/lib.rs:167-174)."""
@@ -221,15 +286,35 @@ class SceneBuilder:
         self._add_item(TAG_LINE, rgba, width, off, 2,
                        (x0 - hw, y0 - hw, x1 + hw, y1 + hw))
 
-    def fill(self, points: Sequence[Tuple[float, float]], rgba: int,
+    def fill(self, points: Sequence[Tuple[float, float]], brush,
              even_odd: bool = False) -> None:
         """Filled polygon, implicit closure (src/lib.rs:195-207).
 
+        ``brush`` is a solid 0xRRGGBBAA int (the reference's only brush) or
+        a LinearGradient / RadialGradient (gradient extension).
         ``even_odd`` selects piet's even-odd fill rule (default nonzero
         winding, as the reference renders)."""
         off, bbox = self._add_points(points)
-        self._add_item(TAG_FILL, rgba, 0.0, off, len(points), bbox,
-                       flags=FLAG_EVEN_ODD if even_odd else 0)
+        if isinstance(brush, (LinearGradient, RadialGradient)):
+            if even_odd:
+                raise ValueError(
+                    "gradient fills use nonzero winding (even_odd "
+                    "unsupported: the PTCL word budget is exhausted)")
+            if self._clip is not None:
+                raise ValueError(
+                    "gradient fills cannot carry a rect clip (payload "
+                    "rides the clip words); use clip_path() groups")
+            from .color import decode_color_linear
+            c1 = decode_color_linear(np.uint32(brush.rgba1 & 0xFFFFFFFF))
+            grad = tuple(brush.params3()) + tuple(float(v) for v in c1) \
+                + (0.0,)
+            flag = (FLAG_BRUSH_RADIAL if isinstance(brush, RadialGradient)
+                    else FLAG_BRUSH_LINEAR)
+            self._add_item(TAG_FILL, brush.rgba0, 0.0, off, len(points),
+                           bbox, flags=flag, grad=grad)
+        else:
+            self._add_item(TAG_FILL, brush, 0.0, off, len(points), bbox,
+                           flags=FLAG_EVEN_ODD if even_odd else 0)
 
     def polyline(self, points: Sequence[Tuple[float, float]], rgba: int,
                  width: float) -> None:
@@ -258,10 +343,12 @@ class SceneBuilder:
             self.polyline(sp, rgba, width)
 
     def fill_path(self, subpaths: Sequence[Sequence[Tuple[float, float]]],
-                  rgba: int, even_odd: bool = False) -> None:
-        """Fill flattened subpaths, one Fill item each (src/lib.rs:342-347)."""
+                  brush, even_odd: bool = False) -> None:
+        """Fill flattened subpaths, one Fill item each (src/lib.rs:342-347).
+
+        ``brush``: solid rgba int or Linear/RadialGradient (see fill)."""
         for sp in subpaths:
-            self.fill(sp, rgba, even_odd=even_odd)
+            self.fill(sp, brush, even_odd=even_odd)
 
     # -- clip / layer groups (extension; vello-style coverage stack) ------
     def clip_path(self, points: Sequence[Tuple[float, float]],
@@ -316,6 +403,7 @@ class SceneBuilder:
             points=np.asarray(self._points, np.float32).reshape(-1, 2),
             flags=np.asarray(self._flags, np.uint32),
             clips=np.asarray(self._clips, np.float32).reshape(-1, 4),
+            grads=np.asarray(self._grads, np.float32).reshape(-1, 8),
         )
         scene.validate()
         return scene

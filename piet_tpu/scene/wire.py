@@ -68,6 +68,12 @@ def encode_scene(scene: Scene) -> bytes:
             "per-item clip rects are a piet-tpu extension with no "
             "reference wire encoding; persist such scenes via Scene.save "
             "(.npz) instead")
+    # Gradient brushes likewise have no reference wire encoding.
+    if scene.grads.any():
+        raise ValueError(
+            "gradient brushes are a piet-tpu extension with no reference "
+            "wire encoding; persist such scenes via Scene.save (.npz) "
+            "instead")
 
     out = bytearray(cursor)
     struct.pack_into("<II", out, 0, n, items_ix)

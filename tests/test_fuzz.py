@@ -52,7 +52,8 @@ def random_scene(seed: int, groups: bool = False):
                 b.pop()
                 depth -= 1
         kind = int(rng.integers(0, 5))
-        if rng.random() < 0.2:
+        clipped = rng.random() < 0.2
+        if clipped:
             cx0, cy0 = rng.uniform(-10, SIZE, 2)
             b.set_clip(float(cx0), float(cy0),
                        float(cx0 + rng.uniform(1, SIZE / 2)),
@@ -84,7 +85,24 @@ def random_scene(seed: int, groups: bool = False):
             else:
                 pts = [tuple(p) for p in rng.uniform(-20, SIZE + 20, (n, 2))]
             if kind == 2:
-                b.fill([(float(x), float(y)) for x, y in pts], color)
+                brush = color
+                if not clipped and rng.random() < 0.35:
+                    # Gradient brush fuzz (extension): random 2-stop
+                    # linear/radial, incl. degenerate axes/radii.
+                    from piet_tpu.scene.scene import (LinearGradient,
+                                                      RadialGradient)
+                    c1 = (int(rng.integers(0, 1 << 24)) << 8) | int(
+                        rng.integers(0, 256))
+                    if rng.random() < 0.5:
+                        p0 = tuple(map(float, rng.uniform(-20, SIZE, 2)))
+                        p1 = (p0 if rng.random() < 0.1 else
+                              tuple(map(float, rng.uniform(-20, SIZE, 2))))
+                        brush = LinearGradient(p0, p1, color, c1)
+                    else:
+                        brush = RadialGradient(
+                            tuple(map(float, rng.uniform(0, SIZE, 2))),
+                            float(rng.uniform(0.0, SIZE * 0.6)), color, c1)
+                b.fill([(float(x), float(y)) for x, y in pts], brush)
             else:
                 b.polyline([(float(x), float(y)) for x, y in pts],
                            color, float(rng.uniform(0.0, 8)))
