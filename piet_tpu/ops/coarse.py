@@ -64,6 +64,7 @@ from ..scene.scene import (FLAG_BRUSH_LINEAR, FLAG_BRUSH_RADIAL,
                            TAG_CLIP, TAG_FILL, TAG_LAYER, TAG_LINE, TAG_POLY,
                            TAG_POP)
 from .expand import expand_rows, expand_rows_xla
+from .gatherm import gather_monotone
 from .keyed import keyed_sum, keyed_sum_xla
 from .pairing import pair_entries
 from .sort import stable_sort_multi
@@ -297,10 +298,17 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                   jnp.where(tags == TAG_LINE, 1, 0)))
     seg_excl, seg_incl = _exclusive_cumsum(seg_counts)
     n_segs = seg_incl[-1]
+    np_max = scene.points.shape[0] - 1
+    # The item's FIRST point rides the expansion row (words 12-13): it is
+    # the fill wrap-around endpoint (i1 = pt_offset at the last segment,
+    # src/lib.rs:195-207 wrap semantics), letting the engine path below
+    # fetch p1 from the monotone stream i0+1 alone.  NI-sized gather:
+    # ~30x smaller than the per-segment gathers it replaces.
+    first_pt = scene.points[jnp.clip(scene.pt_offset, 0, np_max)]
     item_rows = jnp.concatenate(
         [jax.lax.bitcast_convert_type(item_pack, f32),
          scene.widths[:, None], i2f(seg_excl)[:, None],
-         i2f(item_ids)[:, None]], axis=1)                # (NI, 12)
+         i2f(item_ids)[:, None], first_pt], axis=1)      # (NI, 14)
     sitem_f = _db(exp_rows(item_rows, seg_counts, max_segments, seg_excl))
     sitem = jax.lax.bitcast_convert_type(sitem_f[:, :9], jnp.int32)
     seg_idx = jnp.arange(max_segments, dtype=jnp.int32)
@@ -317,12 +325,28 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                                         sitem[:, 8])
     i0 = s_ptoff + seg_local
     s_is_fill_tag = (s_tag == TAG_FILL) | (s_tag == TAG_CLIP)
-    nxt = jnp.where(s_is_fill_tag & (seg_local + 1 == s_npts),
-                    0, seg_local + 1)
-    i1 = s_ptoff + nxt
-    np_max = scene.points.shape[0] - 1
-    p0, p1 = _db(scene.points[jnp.clip(i0, 0, np_max)],
-                 scene.points[jnp.clip(i1, 0, np_max)])
+    wrap = s_is_fill_tag & (seg_local + 1 == s_npts)
+    if expand_impl in ("pallas", "pallas_interpret"):
+        # Endpoint fetch on the monotone-gather engine (ops/gatherm.py):
+        # i0 is nondecreasing across live segments (items in encode
+        # order, each walking its point block front to back), and so is
+        # i0 + 1; the only non-monotone endpoint -- the fill wrap-around
+        # i1 = pt_offset -- comes from the carried per-item first point.
+        # Dead slots pin to np_max (monotone; gathered row unused).
+        i0_g = jnp.where(seg_valid, jnp.clip(i0, 0, np_max), np_max)
+        j1_g = jnp.where(seg_valid, jnp.clip(i0 + 1, 0, np_max), np_max)
+        p0e, p1n = gather_monotone(
+            scene.points, (i0_g, j1_g),
+            interpret=expand_impl == "pallas_interpret")
+        p1e = jnp.where(wrap[:, None], sitem_f[:, 12:14], p1n)
+    else:
+        i1 = jnp.where(wrap, s_ptoff, i0 + 1)
+        p0e = scene.points[jnp.clip(i0, 0, np_max)]
+        p1e = scene.points[jnp.clip(i1, 0, np_max)]
+    # Dead slots zero on BOTH paths so every downstream word (and the
+    # profiler's stage probes) is impl-independent.
+    p0, p1 = _db(jnp.where(seg_valid[:, None], p0e, 0.0),
+                 jnp.where(seg_valid[:, None], p1e, 0.0))
     sx, sy = p0[:, 0], p0[:, 1]
     ex, ey = p1[:, 0], p1[:, 1]
     a = ey - sy
@@ -606,9 +630,23 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     csum = jnp.cumsum(delta_scatter)
     cand_row_start = (ci[:, 3]
                       + (cand_ty - ci[:, 5]) * jnp.maximum(ci[:, 8], 1))
-    start_base = jnp.where(cand_row_start > 0, csum[cand_row_start - 1], 0.0)
-    backdrop = csum[jnp.minimum(
-        cand_row_start + (cand_tx - ci[:, 4]), max_candidates - 1)] - start_base
+    # cand_row_start is nondecreasing (candidates expand item- and
+    # row-major; dead slots continue as cand_idx), so the row-start base
+    # fetch rides the monotone-gather engine on the Pallas path.
+    if expand_impl in ("pallas", "pallas_interpret"):
+        sb_idx = jnp.clip(cand_row_start - 1, 0, max_candidates - 1)
+        (sb,) = gather_monotone(
+            csum[:, None], (sb_idx,),
+            interpret=expand_impl == "pallas_interpret")
+        start_base = jnp.where(cand_row_start > 0, sb[:, 0], 0.0)
+    else:
+        start_base = jnp.where(cand_row_start > 0,
+                               csum[cand_row_start - 1], 0.0)
+    # csum at the candidate's own slot IS csum[cand_idx] == csum
+    # elementwise: candidates expand row-major, so row_start + dx =
+    # cand_excl + dy*w + dx = cand_idx (holds for dead slots too, where
+    # the zeroed row gives row_start = dy = cand_idx).  No gather.
+    backdrop = csum - start_base
     stage_probe("deltas", backdrop)
 
     # ---- candidate tail commands --------------------------------------

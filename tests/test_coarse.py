@@ -117,3 +117,32 @@ def test_sort_fallback_unpacked_keys():
     out = run_coarse(scene, cfg)
     gold = cpu_tile_scene(scene, cfg)
     assert_ptcl_equal(out, gold, cfg)
+
+
+def test_engine_path_bit_identical_entries():
+    """The Pallas engine path (expansion + keyed sums + monotone gathers,
+    interpret mode) must produce a bit-identical entry stream to the XLA
+    path -- exercises ops/expand.py, ops/keyed.py, AND ops/gatherm.py
+    (segment endpoints via the monotone i0/i0+1 streams + carried
+    wrap-around first point, and the backdrop row-start base)."""
+    cfg = RenderConfig(width=224, height=224, tile_height=16,
+                       tile_width=128, cmd_capacity=2688, max_items=512,
+                       max_points=1 << 15, max_segments=1 << 15,
+                       max_hits=1 << 17, max_candidates=1 << 14,
+                       max_deltas=1 << 15)
+    scene = make_tiger(scale=1.0)
+    dev = prepare_scene(scene, cfg)
+    kw = dict(tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+              tile_w=cfg.tile_width, tile_h=cfg.tile_height,
+              cmd_capacity=cfg.cmd_capacity, max_segments=cfg.max_segments,
+              max_hits=cfg.max_hits, max_candidates=cfg.max_candidates,
+              max_deltas=cfg.max_deltas, output="entries")
+    ref = coarse_rasterize(dev, expand_impl="xla", **kw)
+    eng = coarse_rasterize(dev, expand_impl="pallas_interpret", **kw)
+    for name in ("stream", "first", "n_entries", "counts", "solid"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(eng, name))
+        np.testing.assert_array_equal(
+            a.view(np.uint32) if a.dtype.kind == "f" else a,
+            b.view(np.uint32) if b.dtype.kind == "f" else b,
+            err_msg=name)
