@@ -878,7 +878,8 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
             # (tile, item) group per 16-word entry -- 33-43% fewer live
             # entries on every BASELINE config; command counts unchanged.
             p = pair_entries(stream16, sorted_keys, live, e_tile, e_ncmds,
-                             e_is_opaque, e_is_clear, n_tiles)
+                             e_is_opaque, e_is_clear, n_tiles,
+                             expand_impl=expand_impl)
             stream16, live, e_tile = p.rows, p.live, p.e_tile
             e_ncmds, e_is_opaque, e_is_clear = (p.e_ncmds, p.e_is_opaque,
                                                 p.e_is_clear)

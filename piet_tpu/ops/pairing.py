@@ -55,7 +55,7 @@ class PairedEntries(NamedTuple):
 def pair_entries(rows: jax.Array, keys: Tuple[jax.Array, ...],
                  live: jax.Array, e_tile: jax.Array, e_ncmds: jax.Array,
                  e_is_opaque: jax.Array, e_is_clear: jax.Array,
-                 n_tiles) -> PairedEntries:
+                 n_tiles, expand_impl: str = "xla") -> PairedEntries:
     """Merge adjacent pairable entries and compact the stream.
 
     Args:
@@ -65,6 +65,9 @@ def pair_entries(rows: jax.Array, keys: Tuple[jax.Array, ...],
       live/e_tile/e_ncmds/e_is_opaque/e_is_clear: per-entry metadata in
         sorted order (dead entries: live False).
       n_tiles: tile count (dead e_tile sentinel).
+      expand_impl: "pallas"/"pallas_interpret" routes the compaction
+        through the MXU expansion engine (compaction with 0/1 keep
+        counts IS ragged expansion); "xla" keeps the scatter + gather.
 
     Returns compacted PairedEntries (same capacity E; the live prefix
     shrinks by the number of merged pairs).
@@ -120,17 +123,37 @@ def pair_entries(rows: jax.Array, keys: Tuple[jax.Array, ...],
 
     # Stable compaction: drop seconds, keep order.
     keep = live & ~is_second
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - keep.astype(jnp.int32)
     total = keep.sum().astype(jnp.int32)
-    pos_idx = (jnp.zeros((E,), jnp.int32)
-               .at[jnp.where(keep, pos, E)].set(idx, mode="drop"))
     new_live = idx < total
-    out_rows = jnp.where(new_live[:, None], merged[pos_idx], 0.0)
-    out_tile = jnp.where(new_live, e_tile[pos_idx], n_tiles)
-    out_ncmds = jnp.where(
-        new_live, (e_ncmds + has_partner.astype(jnp.int32))[pos_idx], 0)
-    out_opq = new_live & e_is_opaque[pos_idx]
-    out_clr = new_live & e_is_clear[pos_idx]
+    mncmds = e_ncmds + has_partner.astype(jnp.int32)
+    if expand_impl in ("pallas", "pallas_interpret"):
+        # Compaction IS ragged expansion with 0/1 counts: out[j] = the
+        # j-th kept row.  One MXU engine pass replaces the position
+        # scatter plus the (E, 20)-row gather (both scalar-core in XLA).
+        from .expand import expand_rows
+        bundle = jnp.concatenate(
+            [merged, e_tile.astype(f32)[:, None],
+             mncmds.astype(f32)[:, None],
+             e_is_opaque.astype(f32)[:, None],
+             e_is_clear.astype(f32)[:, None]], axis=1)
+        out = expand_rows(bundle, keep.astype(jnp.int32), E,
+                          interpret=expand_impl == "pallas_interpret")
+        w = rows.shape[1]
+        out_rows = jnp.where(new_live[:, None], out[:, :w], 0.0)
+        out_tile = jnp.where(new_live, out[:, w].astype(jnp.int32),
+                             n_tiles)
+        out_ncmds = jnp.where(new_live, out[:, w + 1].astype(jnp.int32), 0)
+        out_opq = new_live & (out[:, w + 2] != 0.0)
+        out_clr = new_live & (out[:, w + 3] != 0.0)
+    else:
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - keep.astype(jnp.int32)
+        pos_idx = (jnp.zeros((E,), jnp.int32)
+                   .at[jnp.where(keep, pos, E)].set(idx, mode="drop"))
+        out_rows = jnp.where(new_live[:, None], merged[pos_idx], 0.0)
+        out_tile = jnp.where(new_live, e_tile[pos_idx], n_tiles)
+        out_ncmds = jnp.where(new_live, mncmds[pos_idx], 0)
+        out_opq = new_live & e_is_opaque[pos_idx]
+        out_clr = new_live & e_is_clear[pos_idx]
     return PairedEntries(rows=out_rows, live=new_live, e_tile=out_tile,
                          e_ncmds=out_ncmds, e_is_opaque=out_opq,
                          e_is_clear=out_clr)
