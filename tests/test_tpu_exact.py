@@ -143,3 +143,60 @@ def test_clip_layer_scene_exact_on_tpu():
         img = Renderer(cfg, fine_impl="pallas").render(scene)
     gold = cpu_render_scene(scene, cfg)
     np.testing.assert_array_equal(img, gold)
+
+
+def test_gradient_scene_exact_on_tpu():
+    """Gradient brushes (2-stop extension) through the production
+    entry-stream kernel on hardware (16-row tiles: bit-exact contract,
+    incl. the word-8 payload aliasing and pairing coexistence)."""
+    import numpy as np
+
+    from piet_tpu.config import RenderConfig
+    from piet_tpu.raster.cpu_fine import cpu_render_scene
+    from piet_tpu.renderer.renderer import Renderer
+    from piet_tpu.scene.fixtures import make_gradient_demo
+
+    scene = make_gradient_demo(256)
+    cfg = RenderConfig(width=256, height=256, tile_height=16,
+                       tile_width=128, cmd_capacity=256)
+    with jax.default_device(jax.devices("tpu")[0]):
+        img = Renderer(cfg, fine_impl="pallas").render(scene)
+    gold = cpu_render_scene(scene, cfg)
+    np.testing.assert_array_equal(img, gold)
+
+
+def test_engine_path_bit_identical_on_tpu():
+    """The Pallas MXU engines (expansion, keyed sums, monotone gathers,
+    pairing compaction) vs the XLA path ON HARDWARE: the interpret-mode
+    equality (tests/test_coarse.py) re-pinned where the real MXU
+    bf16-quarter transport runs."""
+    import numpy as np
+
+    from piet_tpu.config import RenderConfig
+    from piet_tpu.ops.coarse import coarse_rasterize
+    from piet_tpu.renderer.renderer import prepare_scene
+    from piet_tpu.scene.svg import make_tiger
+
+    cfg = RenderConfig(width=224, height=224, tile_height=16,
+                       tile_width=128, cmd_capacity=2688, max_items=512,
+                       max_points=1 << 15, max_segments=1 << 15,
+                       max_hits=1 << 17, max_candidates=1 << 14,
+                       max_deltas=1 << 15)
+    scene = make_tiger(scale=1.0)
+    kw = dict(tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+              tile_w=cfg.tile_width, tile_h=cfg.tile_height,
+              cmd_capacity=cfg.cmd_capacity, max_segments=cfg.max_segments,
+              max_hits=cfg.max_hits, max_candidates=cfg.max_candidates,
+              max_deltas=cfg.max_deltas, output="entries",
+              sort_impl="pallas")
+    with jax.default_device(jax.devices("tpu")[0]):
+        dev = prepare_scene(scene, cfg)
+        ref = jax.jit(lambda d: coarse_rasterize(
+            d, expand_impl="xla", **kw)[:-1])(dev)
+        eng = jax.jit(lambda d: coarse_rasterize(
+            d, expand_impl="pallas", **kw)[:-1])(dev)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(eng)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_array_equal(
+            a.view(np.uint32) if a.dtype.kind == "f" else a,
+            b.view(np.uint32) if b.dtype.kind == "f" else b)
