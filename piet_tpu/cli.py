@@ -50,6 +50,10 @@ def cmd_render(args) -> int:
 
     if args.load:
         scene = Scene.load(args.load)
+    elif getattr(args, "svg", None):
+        from .scene.svg_full import load_svg_file
+        scene = load_svg_file(args.svg, scale=args.scale,
+                              target_width=args.width)
     else:
         scene = _build_scene(args)
     if args.save_scene:
@@ -274,6 +278,8 @@ def main(argv=None) -> int:
     scene_args(r)
     r.add_argument("--out", default="out.png")
     r.add_argument("--load", help="load scene from .npz instead")
+    r.add_argument("--svg", help="render an SVG FILE via the general "
+                   "parser (scene/svg_full.py; --scale applies)")
     r.add_argument("--save-scene", help="also save the scene as .npz")
     r.set_defaults(fn=cmd_render)
 

@@ -58,8 +58,9 @@ from ..raster.ptcl import (ARG_WORDS, CMD_CIRCLE, CMD_DRAW_FILL, CMD_FILL,
                            CMD_FILL_EDGE, CMD_LINE, CMD_SOLID, CMD_STROKE)
 from ..raster.ptcl import (CMD_BEGIN_CLIP, CMD_BEGIN_LAYER, CMD_END_CLIP,
                            CMD_END_LAYER)
-from ..raster.ptcl import CMD_DRAW_LIN_GRAD, CMD_DRAW_RAD_GRAD
+from ..raster.ptcl import (CMD_DRAW_LIN_GRAD, CMD_DRAW_RAD_GRAD, CMD_WIND)
 from ..scene.scene import (FLAG_BRUSH_LINEAR, FLAG_BRUSH_RADIAL,
+                           FLAG_FILL_CONT, FLAG_FILL_FINAL,
                            FLAG_IN_GROUP, FLAG_POP_LAYER, TAG_CIRCLE,
                            TAG_CLIP, TAG_FILL, TAG_LAYER, TAG_LINE, TAG_POLY,
                            TAG_POP)
@@ -665,12 +666,23 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     c_grad_lin = (cflags & FLAG_BRUSH_LINEAR) != 0
     c_grad_rad = (cflags & FLAG_BRUSH_RADIAL) != 0
     c_is_grad_item = c_grad_lin | c_grad_rad
+    # Multi-subpath fill bits (hole extension): a CONT subpath carries
+    # its interior winding in a CMD_WIND (never resolves, never solids);
+    # the FINAL subpath resolves UNCONDITIONALLY over the union bbox (a
+    # sibling may have contributed where it has no presence of its own)
+    # and never uses the solid fast path.
+    c_cont = (cflags & FLAG_FILL_CONT) != 0
+    c_final = (cflags & FLAG_FILL_FINAL) != 0
 
     is_circle = cand_valid & (c_tag_item == TAG_CIRCLE)
     is_fill_cand = cand_valid & (c_tag_item == TAG_FILL)
-    is_grad = is_fill_cand & c_is_grad_item & (c_any | c_backdrop_nz)
-    is_drawfill = is_fill_cand & ~c_is_grad_item & c_any
-    is_solid = (is_fill_cand & ~c_is_grad_item & ~c_any & c_backdrop_nz)
+    is_wind = is_fill_cand & c_cont & c_backdrop_nz
+    is_grad = (is_fill_cand & c_is_grad_item & ~c_cont
+               & (c_any | c_backdrop_nz | c_final))
+    is_drawfill = (is_fill_cand & ~c_is_grad_item & ~c_cont
+                   & (c_any | c_final))
+    is_solid = (is_fill_cand & ~c_is_grad_item & ~c_cont & ~c_final
+                & ~c_any & c_backdrop_nz)
     is_stroke = cand_valid & ((c_tag_item == TAG_POLY)
                               | (c_tag_item == TAG_LINE)) & c_any
     # Clip / layer group commands (extension): emitted in EVERY candidate
@@ -683,20 +695,21 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     is_group_cmd = is_clip | is_layer | is_pop
 
     cand_cmd_valid = (is_circle | is_drawfill | is_solid | is_stroke
-                      | is_grad | is_group_cmd)
+                      | is_grad | is_wind | is_group_cmd)
     cand_tag = jnp.where(
         is_circle, CMD_CIRCLE,
         jnp.where(is_drawfill, CMD_DRAW_FILL,
                   jnp.where(is_solid, CMD_SOLID,
-                            jnp.where(is_grad & c_grad_rad, CMD_DRAW_RAD_GRAD,
-                                      jnp.where(is_grad, CMD_DRAW_LIN_GRAD,
-                                                jnp.where(is_clip, CMD_BEGIN_CLIP,
-                                                          jnp.where(is_layer, CMD_BEGIN_LAYER,
-                                                                    jnp.where(pop_layer,
-                                                                              CMD_END_LAYER,
-                                                                              jnp.where(is_pop,
-                                                                                        CMD_END_CLIP,
-                                                                                        CMD_STROKE)))))))))
+                            jnp.where(is_wind, CMD_WIND,
+                                      jnp.where(is_grad & c_grad_rad, CMD_DRAW_RAD_GRAD,
+                                                jnp.where(is_grad, CMD_DRAW_LIN_GRAD,
+                                                          jnp.where(is_clip, CMD_BEGIN_CLIP,
+                                                                    jnp.where(is_layer, CMD_BEGIN_LAYER,
+                                                                              jnp.where(pop_layer,
+                                                                                        CMD_END_LAYER,
+                                                                                        jnp.where(is_pop,
+                                                                                                  CMD_END_CLIP,
+                                                                                                  CMD_STROKE))))))))))
     cbb = cf[:, 4:8]
     chw = cf[:, 8]
     cand_args = jnp.zeros((max_candidates, ARG_WORDS), f32)
@@ -733,6 +746,16 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     a5 = jnp.where(is_grad, c_color_lin[:, 1], a5)
     a6 = jnp.where(is_grad, c_color_lin[:, 2], 0.0)
     a7 = jnp.where(is_grad, c_color_lin[:, 3], 0.0)
+    # Winding-carry operands (hole extension, raster/ptcl.py tag 16):
+    # [backdrop] only.
+    a0 = jnp.where(is_wind, backdrop, a0)
+    a1 = jnp.where(is_wind, 0.0, a1)
+    a2 = jnp.where(is_wind, 0.0, a2)
+    a3 = jnp.where(is_wind, 0.0, a3)
+    a4 = jnp.where(is_wind, 0.0, a4)
+    a5 = jnp.where(is_wind, 0.0, a5)
+    a6 = jnp.where(is_wind, 0.0, a6)
+    a7 = jnp.where(is_wind, 0.0, a7)
     cand_args = cand_args.at[:, 0].set(a0)
     cand_args = cand_args.at[:, 1].set(a1)
     cand_args = cand_args.at[:, 2].set(a2)
@@ -746,7 +769,8 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     # resolves carry the second stop's linear rgba there instead.
     cand_args = cand_args.at[:, 8:12].set(
         jnp.where(is_grad[:, None], cg[:, 3:7],
-                  jnp.where(is_group_cmd[:, None], 0.0, cf[:, 11:15])))
+                  jnp.where((is_group_cmd | is_wind)[:, None], 0.0,
+                            cf[:, 11:15])))
 
     # A clipped solid cannot bail the tile (the clip may not cover it);
     # must match the oracle's predicate exactly (raster/ptcl.py::solid).

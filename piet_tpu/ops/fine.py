@@ -48,6 +48,7 @@ from ..raster.ptcl import (ARG_WORDS, CMD_BEGIN_CLIP, CMD_BEGIN_LAYER,
                            CMD_SOLID, CMD_STROKE)
 from ..scene.scene import MAX_GROUP_DEPTH
 from ..raster.ptcl import CMD_DRAW_LIN_GRAD, CMD_DRAW_RAD_GRAD
+from ..raster.ptcl import CMD_WIND
 from .cmd_math import (DF2_INIT, DF_INIT, clip_alpha, edge_delta, fill_delta,
                        line_field_sq, make_commands, make_grad_commands,
                        pack_rgba8)
@@ -485,6 +486,13 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                 @pl.when(tag0 == CMD_DRAW_RAD_GRAD)
                 def _():
                     _apply_grad(grad_rad)
+
+                # Winding carry (multi-subpath fill extension): a CONT
+                # subpath's interior backdrop; resolved by the group's
+                # final DrawFill.
+                @pl.when(tag0 == CMD_WIND)
+                def _():
+                    area_s[:] = area_s[:] + s0arg(0)
 
         lo = jnp.where(ci == 0, skip, 0)
         hi = jnp.minimum(total - ci * SC_ENTRIES, SC_ENTRIES)

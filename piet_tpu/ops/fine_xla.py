@@ -135,12 +135,16 @@ def fine_rasterize_xla(counts: jax.Array, tags: jax.Array, args: jax.Array,
                 return (r, g, b, df, area) + st[5:]
             return branch
 
+        def wind(words, st):
+            # Winding carry (multi-subpath fill extension).
+            return st[:4] + (st[4] + words[0],) + st[5:]
+
         branches = tuple(lift_core(i) for i in range(7)) + (
             noop, begin_clip, end_clip, begin_layer, end_layer,
-            lift_grad(False), lift_grad(True))
+            lift_grad(False), lift_grad(True), wind)
 
         def body(j, st):
-            idx = jnp.clip(tag_row[j] - 2, 0, 13)
+            idx = jnp.clip(tag_row[j] - 2, 0, 14)
             new = jax.lax.switch(idx, branches, arg_row[j], st)
             live = j < count
             return jax.tree.map(

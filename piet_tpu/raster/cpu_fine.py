@@ -28,7 +28,8 @@ from ..scene.color import srgb_encode_u8
 from .ptcl import (CMD_CIRCLE, CMD_DRAW_FILL, CMD_FILL, CMD_FILL_EDGE,
                    CMD_LINE, CMD_SOLID, CMD_STROKE, Ptcl,
                    CMD_BEGIN_CLIP, CMD_END_CLIP, CMD_BEGIN_LAYER,
-                   CMD_END_LAYER, CMD_DRAW_LIN_GRAD, CMD_DRAW_RAD_GRAD)
+                   CMD_END_LAYER, CMD_DRAW_LIN_GRAD, CMD_DRAW_RAD_GRAD,
+                   CMD_WIND)
 
 F = np.float32
 DF_INIT = F(1e9)
@@ -134,6 +135,11 @@ def render_tile(tags: np.ndarray, args: np.ndarray, count: int,
         elif tag == CMD_FILL_EDGE:
             sgn, ye = F(av[0]), F(av[1])
             area = area + (sgn * _saturate(Y - ye + F(1.0))).astype(F)
+        elif tag == CMD_WIND:
+            # Winding carry (multi-subpath fill extension): a non-final
+            # subpath's interior backdrop, resolved by the group's final
+            # DrawFill.
+            area = area + F(av[0])
         elif tag == CMD_DRAW_FILL:
             backdrop = F(av[0])
             fg = av[1:5].astype(F)

@@ -34,7 +34,8 @@ import numpy as np
 
 from ..config import RenderConfig
 from ..scene.scene import (FLAG_BRUSH_LINEAR, FLAG_BRUSH_RADIAL,
-                           FLAG_EVEN_ODD, FLAG_IN_GROUP, FLAG_POP_LAYER,
+                           FLAG_EVEN_ODD, FLAG_FILL_CONT, FLAG_FILL_FINAL,
+                           FLAG_IN_GROUP, FLAG_POP_LAYER,
                            Scene, TAG_CIRCLE, TAG_CLIP, TAG_FILL, TAG_LAYER,
                            TAG_LINE, TAG_POLY, TAG_POP)
 from .ptcl import Ptcl, TileCmdEncoder, assemble_ptcl
@@ -128,19 +129,28 @@ def _fill_coverage(enc: TileCmdEncoder, seg: _ItemSegs,
 
 def _fill_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int,
                even_odd: bool, clip, in_group: bool,
-               x0: F, y0: F, tw: F, th: F, grad=None, radial=False) -> None:
+               x0: F, y0: F, tw: F, th: F, grad=None, radial=False,
+               cont: bool = False, final: bool = False) -> None:
     """Reference fill logic for one (item, tile); ``grad`` (a Scene.grads
-    row) switches the resolve to a gradient draw (gradient extension)."""
+    row) switches the resolve to a gradient draw (gradient extension);
+    ``cont``/``final`` implement multi-subpath fills (hole extension,
+    scene.FLAG_FILL_CONT/FLAG_FILL_FINAL): a CONT subpath carries its
+    interior winding in a CMD_WIND instead of resolving; a FINAL subpath
+    resolves unconditionally (a sibling may have contributed where it has
+    no presence of its own)."""
     any_fill, backdrop = _fill_coverage(enc, seg, x0, y0, tw, th)
-    if grad is not None:
+    if cont:
+        if backdrop != F(0.0):
+            enc.wind(int(backdrop))
+    elif grad is not None:
         # Gradient brush: the tile can never bail to a solid (the color
         # varies per pixel), so interior tiles (winding only) get the
         # same draw command with area == 0.
-        if any_fill or backdrop != F(0.0):
+        if any_fill or backdrop != F(0.0) or final:
             from ..scene.color import decode_color_linear
             c0 = decode_color_linear(np.uint32(color))
             enc.draw_grad(int(backdrop), grad[:3], c0, grad[3:7], radial)
-    elif any_fill:
+    elif any_fill or final:
         enc.draw_fill(int(backdrop), color, even_odd=even_odd, clip=clip)
     elif backdrop != F(0.0):
         enc.solid(color, clip=clip, in_group=in_group)
@@ -238,7 +248,9 @@ def cpu_tile_scene(scene: Scene, config: RenderConfig) -> Ptcl:
                                bool(fl & FLAG_IN_GROUP),
                                x0, y0, tw, th,
                                grad=scene.grads[i] if is_grad else None,
-                               radial=bool(fl & FLAG_BRUSH_RADIAL))
+                               radial=bool(fl & FLAG_BRUSH_RADIAL),
+                               cont=bool(fl & FLAG_FILL_CONT),
+                               final=bool(fl & FLAG_FILL_FINAL))
                 elif tag == TAG_POLY:
                     _poly_tile(enc, segs[i], color, width,
                                tuple(scene.clips[i]), x0, y0, tw, th)

@@ -62,6 +62,13 @@ CMD_END_LAYER = 13    # [alpha]: composite pushed vs current rgb
 # (cx,cy,1/r) radial (t = |p - c| / r), precomputed on host in f32.
 CMD_DRAW_LIN_GRAD = 14
 CMD_DRAW_RAD_GRAD = 15
+# -- winding carry (multi-subpath fill extension; scene.FLAG_FILL_CONT).
+# [backdrop]: area += backdrop, NO resolve -- a non-final subpath's
+# interior winding rides into the group's final DrawFill, giving real
+# hole support (the reference encodes one Fill per subpath and cannot
+# represent holes, src/lib.rs:342-347).  Like CMD_FILL, it does not
+# touch bail state.
+CMD_WIND = 16
 
 ARG_WORDS = 12
 
@@ -152,6 +159,12 @@ class TileCmdEncoder:
 
     def fill_edge(self, sign: float, y: float) -> None:
         self._push(CMD_FILL_EDGE, [float(sign), float(y)])
+
+    def wind(self, backdrop: int) -> None:
+        """Winding carry of a non-final combined-fill subpath (extension
+        command CMD_WIND): area += backdrop, no resolve, bail state
+        untouched (like CMD_FILL)."""
+        self._push(CMD_WIND, [float(backdrop)])
 
     # -- clip / layer groups (extension commands) -----------------------
     def begin_clip(self, backdrop: int, even_odd: bool = False) -> None:

@@ -55,6 +55,12 @@ FLAG_POP_LAYER = 4
 #: Zero brush bits = solid color (the reference's only brush).
 FLAG_BRUSH_LINEAR = 8
 FLAG_BRUSH_RADIAL = 16
+#: Multi-subpath fill (hole extension; see SceneBuilder.fill_path
+#: combined=True): CONT = non-final subpath, winding carried by CMD_WIND
+#: and never resolved; FINAL = resolves the whole group unconditionally
+#: over the union bbox.
+FLAG_FILL_CONT = 32
+FLAG_FILL_FINAL = 64
 
 
 @dataclasses.dataclass(frozen=True)
@@ -343,12 +349,63 @@ class SceneBuilder:
             self.polyline(sp, rgba, width)
 
     def fill_path(self, subpaths: Sequence[Sequence[Tuple[float, float]]],
-                  brush, even_odd: bool = False) -> None:
+                  brush, even_odd: bool = False,
+                  combined: bool = False) -> None:
         """Fill flattened subpaths, one Fill item each (src/lib.rs:342-347).
 
-        ``brush``: solid rgba int or Linear/RadialGradient (see fill)."""
-        for sp in subpaths:
-            self.fill(sp, brush, even_odd=even_odd)
+        ``brush``: solid rgba int or Linear/RadialGradient (see fill).
+
+        ``combined=True`` (extension) accumulates the winding number
+        ACROSS subpaths before resolving once -- real hole support under
+        both fill rules (an even-odd ring, a reversed-winding nonzero
+        hole).  The reference cannot represent this: it encodes one
+        independent Fill per subpath (src/lib.rs:342-347), so a "hole"
+        just paints over its surroundings.  Mechanics: non-final subpaths
+        carry FLAG_FILL_CONT (their interior winding is carried by a
+        CMD_WIND, never resolved); the final subpath carries
+        FLAG_FILL_FINAL and the whole group's bbox, and resolves
+        unconditionally in every bbox tile (combined fills therefore
+        never use the opaque solid-bail fast path)."""
+        subpaths = [sp for sp in subpaths if len(sp) >= 2]
+        if not combined or len(subpaths) <= 1:
+            for sp in subpaths:
+                self.fill(sp, brush, even_odd=even_odd)
+            return
+        union = (min(min(p[0] for p in sp) for sp in subpaths),
+                 min(min(p[1] for p in sp) for sp in subpaths),
+                 max(max(p[0] for p in sp) for sp in subpaths),
+                 max(max(p[1] for p in sp) for sp in subpaths))
+        for sp in subpaths[:-1]:
+            off, bbox = self._add_points(sp)
+            self._add_item(TAG_FILL, 0, 0.0, off, len(sp), bbox,
+                           flags=(FLAG_FILL_CONT
+                                  | (FLAG_EVEN_ODD if even_odd else 0)))
+        # The final subpath resolves with the brush over the UNION bbox
+        # (a CONT sibling may protrude past the final subpath's own
+        # bbox; every tile any sibling touched must resolve).
+        sp = subpaths[-1]
+        off, _ = self._add_points(sp)
+        if isinstance(brush, (LinearGradient, RadialGradient)):
+            if even_odd:
+                raise ValueError(
+                    "gradient fills use nonzero winding (even_odd "
+                    "unsupported: the PTCL word budget is exhausted)")
+            if self._clip is not None:
+                raise ValueError(
+                    "gradient fills cannot carry a rect clip (payload "
+                    "rides the clip words); use clip_path() groups")
+            from .color import decode_color_linear
+            c1 = decode_color_linear(np.uint32(brush.rgba1 & 0xFFFFFFFF))
+            grad = tuple(brush.params3()) + tuple(float(v) for v in c1) \
+                + (0.0,)
+            flag = (FLAG_BRUSH_RADIAL if isinstance(brush, RadialGradient)
+                    else FLAG_BRUSH_LINEAR)
+            self._add_item(TAG_FILL, brush.rgba0, 0.0, off, len(sp), union,
+                           flags=flag | FLAG_FILL_FINAL, grad=grad)
+        else:
+            self._add_item(TAG_FILL, brush, 0.0, off, len(sp), union,
+                           flags=(FLAG_FILL_FINAL
+                                  | (FLAG_EVEN_ODD if even_odd else 0)))
 
     # -- clip / layer groups (extension; vello-style coverage stack) ------
     def clip_path(self, points: Sequence[Tuple[float, float]],

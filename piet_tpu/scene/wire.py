@@ -74,6 +74,12 @@ def encode_scene(scene: Scene) -> bytes:
             "gradient brushes are a piet-tpu extension with no reference "
             "wire encoding; persist such scenes via Scene.save (.npz) "
             "instead")
+    from .scene import FLAG_FILL_CONT, FLAG_FILL_FINAL
+    if (scene.flags & (FLAG_FILL_CONT | FLAG_FILL_FINAL)).any():
+        raise ValueError(
+            "combined multi-subpath fills are a piet-tpu extension with "
+            "no reference wire encoding; persist such scenes via "
+            "Scene.save (.npz) instead")
 
     out = bytearray(cursor)
     struct.pack_into("<II", out, 0, n, items_ix)
