@@ -220,7 +220,7 @@ def cmd_goldens(args) -> int:
     # 512^2: the scalar CPU oracle is O(tiles x items) in Python; this
     # keeps a full golden sweep under a minute.
     names = ["path_test", "cardioid", "circles_rects", "glyph_page",
-             "clip_star", "gradients"]
+             "clip_star", "gradients", "holes"]
     worst = 0
     for name in names:
         scene = get_scene(name)

@@ -273,6 +273,53 @@ def make_clip_star(size: int = 256) -> Scene:
     return b.build()
 
 
+def make_holes_demo(size: int = 256) -> Scene:
+    """Combined multi-subpath fill demo (hole extension): an even-odd
+    ring with a square hole, a nonzero ring whose hole is a
+    reversed-winding star, and a gradient annulus -- none of which the
+    reference can represent (one independent Fill per subpath,
+    src/lib.rs:342-347)."""
+    import math as _m
+
+    from .scene import RadialGradient
+
+    s = float(size)
+    b = SceneBuilder()
+
+    def rect(x0, y0, x1, y1, ccw=False):
+        pts = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        return pts[::-1] if ccw else pts
+
+    def ngon(cx, cy, r, k=24, ccw=False, star=False):
+        pts = []
+        for i in range(k):
+            th = 2 * _m.pi * i / k
+            rr = r * (0.55 if star and i % 2 else 1.0)
+            pts.append((cx + rr * _m.cos(th), cy + rr * _m.sin(th)))
+        return pts[::-1] if ccw else pts
+
+    # Even-odd square ring.
+    b.fill_path([rect(0.05 * s, 0.05 * s, 0.45 * s, 0.45 * s),
+                 rect(0.15 * s, 0.15 * s, 0.35 * s, 0.35 * s)],
+                0x2040C0FF, even_odd=True, combined=True)
+    # Nonzero ring with a reversed star-shaped hole.
+    b.fill_path([ngon(0.72 * s, 0.25 * s, 0.2 * s),
+                 ngon(0.72 * s, 0.25 * s, 0.13 * s, k=10, ccw=True,
+                      star=True)],
+                0xC04020FF, combined=True)
+    # Gradient annulus (nonzero; reversed inner ring).  Center chosen off
+    # x = 0.5*s: at tile_width 128 that puts ngon vertices EXACTLY on a
+    # tile boundary, where the reference's strict sign tests drop the
+    # crossing (the same knife-edge any reference fill has; see the
+    # axis-aligned note in make_gradient_demo).
+    b.fill_path([ngon(0.47 * s, 0.72 * s, 0.24 * s),
+                 ngon(0.47 * s, 0.72 * s, 0.12 * s, ccw=True)],
+                RadialGradient((0.47 * s, 0.72 * s), 0.26 * s,
+                               0xFFE000FF, 0x0030A0FF),
+                combined=True)
+    return b.build()
+
+
 def make_gradient_demo(size: int = 256) -> Scene:
     """Gradient-brush demo (2-stop extension): a linear-gradient sky
     square, a radial-gradient disk, a linear-gradient star (winding
@@ -318,6 +365,7 @@ SCENES = {
     "clipped_demo": make_clipped_demo,
     "clip_star": make_clip_star,
     "gradients": make_gradient_demo,
+    "holes": make_holes_demo,
 }
 
 

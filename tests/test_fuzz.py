@@ -85,6 +85,23 @@ def random_scene(seed: int, groups: bool = False):
             else:
                 pts = [tuple(p) for p in rng.uniform(-20, SIZE + 20, (n, 2))]
             if kind == 2:
+                if rng.random() < 0.2:
+                    # Combined multi-subpath fill fuzz (hole extension):
+                    # 2-3 random subpaths, mixed winding directions,
+                    # sometimes even-odd, sometimes far-protruding
+                    # siblings (the union-bbox edge case).
+                    subs = []
+                    for _ in range(int(rng.integers(2, 4))):
+                        m = int(rng.integers(3, 8))
+                        sp = [tuple(map(float, p)) for p in
+                              rng.uniform(-20, SIZE + 20, (m, 2))]
+                        if rng.random() < 0.5:
+                            sp = sp[::-1]
+                        subs.append(sp)
+                    b.fill_path(subs, color,
+                                even_odd=bool(rng.random() < 0.4),
+                                combined=True)
+                    continue
                 brush = color
                 if not clipped and rng.random() < 0.35:
                     # Gradient brush fuzz (extension): random 2-stop
