@@ -17,7 +17,7 @@ Layering (mirrors SURVEY.md section 1, bottom-up):
   parallel/  -- multi-chip mesh sharding              (TPU-only capability)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .config import REFERENCE_CONFIG, RenderConfig, THIN_LINE, TIGER_SCALE, TOLERANCE
 

@@ -263,6 +263,10 @@ def cmd_info(args) -> int:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="piet_tpu", description=__doc__)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (useful when the TPU "
+                   "plugin is registered but its device is unreachable; "
+                   "the config update outranks the plugin's default)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def scene_args(sp):
@@ -321,6 +325,9 @@ def main(argv=None) -> int:
     i.set_defaults(fn=cmd_info)
 
     args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     return args.fn(args)
 
 
