@@ -194,7 +194,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                      max_segments: int, max_hits: int, max_candidates: int,
                      max_deltas: int, row0=0,
                      output: str = "dense", sort_impl: str = "auto",
-                     expand_impl: str = "xla", pair: bool = True,
+                     expand_impl: str = "xla", pair="compact",
                      with_probes: bool = False) -> CoarseOutput:
     """row0: first tile row of this shard's slab (traced OK); tiles_y is
     the number of LOCAL rows.  Defaults cover the whole viewport.
@@ -202,6 +202,11 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     expand_impl: "pallas" = the MXU expansion/gather engine
     (ops/expand.py; real-TPU only), "xla" = the portable
     scatter+cummax+gather path.  Outputs are bit-identical.
+
+    pair: entry pairing (ops/pairing.py): False/"off" disables,
+    True/"compact" merges and compacts the stream, "hole" merges and
+    leaves zeroed no-op seconds in place (no compaction cost; the holes
+    cost only the fine kernel's dispatch floor).
 
     with_probes=True adds ``diag["probes"]``: an ordered dict of cheap
     scalars, one per pipeline stage, each forcing exactly that stage's
@@ -897,13 +902,16 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         # Clearing state: CmdLine clears bail (PietRender.metal:90); fill
         # coverage commands do not (:102-117); candidate clears per tag.
         e_is_clear = (e_meta & META_CLEAR_BIT) != 0
-        if pair:
+        pair_mode = {True: "compact", False: "off"}.get(pair, pair)
+        if pair_mode not in ("off", "compact", "hole"):
+            raise ValueError(f"unknown pair mode {pair!r}")
+        if pair_mode != "off":
             # Entry pairing (ops/pairing.py): two same-class records of a
             # (tile, item) group per 16-word entry -- 33-43% fewer live
             # entries on every BASELINE config; command counts unchanged.
             p = pair_entries(stream16, sorted_keys, live, e_tile, e_ncmds,
                              e_is_opaque, e_is_clear, n_tiles,
-                             expand_impl=expand_impl)
+                             expand_impl=expand_impl, mode=pair_mode)
             stream16, live, e_tile = p.rows, p.live, p.e_tile
             e_ncmds, e_is_opaque, e_is_clear = (p.e_ncmds, p.e_is_opaque,
                                                 p.e_is_clear)

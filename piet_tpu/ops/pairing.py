@@ -31,6 +31,7 @@ per-tile command diagnostics and the oracle comparison are unaffected.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -41,6 +42,14 @@ from ..layout.entry_stream import (W_META, W_S0_ARG, W_S0_TAG, W_S1_ARG,
 from ..raster.ptcl import CMD_FILL, CMD_LINE
 
 f32 = jnp.float32
+
+
+def pair_mode_from_env(default: str = "hole") -> str:
+    """Resolve the PIET_PAIR env knob: 0 = off, 1 = compact, hole/off/
+    compact by name.  Shared by the renderer and the profiler so both
+    run the same pipeline."""
+    v = os.environ.get("PIET_PAIR", default)
+    return {"0": "off", "1": "compact"}.get(v, v)
 
 
 class PairedEntries(NamedTuple):
@@ -55,8 +64,9 @@ class PairedEntries(NamedTuple):
 def pair_entries(rows: jax.Array, keys: Tuple[jax.Array, ...],
                  live: jax.Array, e_tile: jax.Array, e_ncmds: jax.Array,
                  e_is_opaque: jax.Array, e_is_clear: jax.Array,
-                 n_tiles, expand_impl: str = "xla") -> PairedEntries:
-    """Merge adjacent pairable entries and compact the stream.
+                 n_tiles, expand_impl: str = "xla",
+                 mode: str = "compact") -> PairedEntries:
+    """Merge adjacent pairable entries; compact or hole-out the seconds.
 
     Args:
       rows: (E, 16) sorted entry rows (dead slots all-zero).
@@ -68,9 +78,17 @@ def pair_entries(rows: jax.Array, keys: Tuple[jax.Array, ...],
       expand_impl: "pallas"/"pallas_interpret" routes the compaction
         through the MXU expansion engine (compaction with 0/1 keep
         counts IS ragged expansion); "xla" keeps the scatter + gather.
+      mode: "compact" removes merged seconds from the stream (a scatter +
+        record-sized gather -- scalar-core work, measured ~3.5 ms at 4K
+        tiger on the XLA path); "hole" zeroes them IN PLACE: an all-zero
+        entry matches no class in the fine kernel's predicated dispatch,
+        so a hole costs only the per-entry dispatch floor (~2 SMEM tag
+        reads + compares) instead of full class work, and the coarse
+        side pays two vector selects instead of the compaction.
 
-    Returns compacted PairedEntries (same capacity E; the live prefix
-    shrinks by the number of merged pairs).
+    Returns PairedEntries (same capacity E; under "compact" the live
+    prefix shrinks by the number of merged pairs, under "hole" it does
+    not but merged seconds are no-op entries).
     """
     E = rows.shape[0]
     idx = jnp.arange(E, dtype=jnp.int32)
@@ -120,6 +138,22 @@ def pair_entries(rows: jax.Array, keys: Tuple[jax.Array, ...],
     # Meta ncmds 1 -> 2 (other meta bits identical across the pair).
     merged = merged.at[:, W_META].set(
         rows[:, W_META] + has_partner.astype(f32))
+
+    if mode == "hole":
+        # In-place: the merged first keeps its stream position; the second
+        # becomes an all-zero no-op entry.  Tile ranges stay contiguous
+        # (seconds remain live and keep e_tile), command totals are
+        # unchanged (first carries 2, second 0), and bail analysis is
+        # unaffected: the pair is ADJACENT and never opaque (F2/L2 are
+        # hit records), so moving a last-clear index from the second to
+        # the first cannot cross an opaque entry.
+        out_rows = jnp.where(is_second[:, None], 0.0, merged)
+        mncmds = jnp.where(is_second, 0,
+                           e_ncmds + has_partner.astype(jnp.int32))
+        return PairedEntries(rows=out_rows, live=live, e_tile=e_tile,
+                             e_ncmds=mncmds,
+                             e_is_opaque=e_is_opaque & ~is_second,
+                             e_is_clear=e_is_clear & ~is_second)
 
     # Stable compaction: drop seconds, keep order.
     keep = live & ~is_second

@@ -29,6 +29,7 @@ import numpy as np
 
 from .config import RenderConfig
 from .ops.coarse import coarse_rasterize
+from .ops.pairing import pair_mode_from_env
 from .ops.fine import fine_rasterize_entries
 from .renderer.renderer import (_resolve_fine_impl, _solid_to_present_u32,
                                 make_render_fn, prepare_scene)
@@ -114,10 +115,11 @@ def profile_render(scene, config: RenderConfig, *, fine_impl: str = "auto",
               output="entries" if impl == "pallas" else "dense",
               sort_impl=("pallas" if impl == "pallas" and not interpret
                          else "xla"),
-              # Same env-gated default as the renderer: profile what runs.
+              # Same env-gated defaults as the renderer: profile what runs.
               expand_impl=(os.environ.get("PIET_EXPAND_IMPL", "xla")
                            if impl == "pallas" and not interpret
-                           else "xla"))
+                           else "xla"),
+              pair=pair_mode_from_env())
 
     def prefix_fn(k):
         names = STAGE_ORDER[:k + 1]

@@ -26,6 +26,7 @@ from ..config import RenderConfig
 from ..ops.coarse import DeviceScene, coarse_rasterize
 from ..ops.fine import fine_rasterize, fine_rasterize_entries
 from ..ops.fine_xla import fine_rasterize_xla
+from ..ops.pairing import pair_mode_from_env
 from ..scene.color import decode_color_linear
 from ..scene.scene import Scene
 
@@ -182,9 +183,13 @@ def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
         expand_impl=(os.environ.get("PIET_EXPAND_IMPL", "xla")
                      if fine_impl == "pallas" and not interpret
                      else "xla"),
-        # Entry pairing (ops/pairing.py) is on by default; PIET_PAIR=0
-        # gives the A/B lever for on-chip measurement.
-        pair=os.environ.get("PIET_PAIR", "1") == "1")
+        # Entry pairing (ops/pairing.py): PIET_PAIR in {0, 1, hole}
+        # (0 = off, 1 = merge + compact, hole = merge + in-place no-op
+        # seconds).  Default "hole": compaction's record-sized
+        # scatter/gather measured +3.5 ms at 4K tiger on the XLA path,
+        # more than the fine-dispatch saving; holes keep the saving
+        # without the compaction.
+        pair=pair_mode_from_env())
     if fine_impl == "xla":
         # Portable path: dense (T, CAP) PTCL + pure-XLA interpreter.
         coarse = coarse_rasterize(scene, **base_kw)

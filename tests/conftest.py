@@ -13,10 +13,14 @@ import os
 
 # Unconditional: the agent environment exports JAX_PLATFORMS=axon, and a
 # setdefault would leave tests initializing the (possibly unreachable)
-# TPU client.  Tests are host-only by contract.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# TPU client.  Tests are host-only by contract -- EXCEPT under
+# PIET_TESTS_TPU=1, the escape hatch for running the hardware
+# bit-exactness suite (tests/test_tpu_exact.py) against an attached chip.
+_ON_CHIP = os.environ.get("PIET_TESTS_TPU") == "1"
+if not _ON_CHIP:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
+if not _ON_CHIP and "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
@@ -25,6 +29,7 @@ import jax  # noqa: E402
 # The axon register (sitecustomize, runs before this file) sets the
 # jax_platforms CONFIG value, which outranks the env var -- force it
 # back, or the first backend lookup blocks initializing the TPU client.
-jax.config.update("jax_platforms", "cpu")
-if jax.default_backend() != "cpu":
-    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+if not _ON_CHIP:
+    jax.config.update("jax_platforms", "cpu")
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])

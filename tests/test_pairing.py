@@ -87,13 +87,14 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("mode", ["compact", "hole"])
 @pytest.mark.parametrize("name,make,cfg_kw", CASES,
                          ids=[c[0] for c in CASES])
-def test_pairing_preserves_command_sequence(name, make, cfg_kw):
+def test_pairing_preserves_command_sequence(name, make, cfg_kw, mode):
     cfg = RenderConfig(**cfg_kw)
     scene = make()
     plain = run_entries(scene, cfg, pair=False)
-    paired = run_entries(scene, cfg, pair=True)
+    paired = run_entries(scene, cfg, pair=mode)
 
     np.testing.assert_array_equal(np.asarray(paired.solid),
                                   np.asarray(plain.solid))
@@ -105,15 +106,37 @@ def test_pairing_preserves_command_sequence(name, make, cfg_kw):
     for t, (a, b) in enumerate(zip(tiles_plain, tiles_paired)):
         assert a == b, f"tile {t}: {a[:4]} vs {b[:4]}"
 
-    # Pairing must shrink the live stream on multi-segment scenes (the
+    # Pairing must shrink the stream on multi-segment scenes (the
     # cardioid's stroke items are single-segment -- nothing pairs, and
-    # the stream must come through untouched).
+    # the stream must come through untouched).  "compact" shrinks the
+    # live entry ranges; "hole" keeps ranges but zeroes merged seconds
+    # in place (counted by decoding: a zero row emits no commands).
     n_plain = int(np.asarray(plain.n_entries).sum())
     n_paired = int(np.asarray(paired.n_entries).sum())
-    if name == "cardioid":
+    if mode == "hole":
+        assert n_paired == n_plain, (n_paired, n_plain)
+        merged = _count_nonempty(plain) - _count_nonempty(paired)
+        if name == "cardioid":
+            assert merged == 0, merged
+        else:
+            assert merged > 0, merged
+    elif name == "cardioid":
         assert n_paired == n_plain, (n_paired, n_plain)
     else:
         assert n_paired < n_plain, (n_paired, n_plain)
+
+
+def _count_nonempty(out):
+    """Non-zero entry rows inside live tile ranges."""
+    stream = np.asarray(out.stream)
+    rows = stream.transpose(0, 2, 1).reshape(-1, ENTRY_WORDS)
+    first = np.asarray(out.first)
+    n_entries = np.asarray(out.n_entries)
+    total = 0
+    for t in range(first.shape[0]):
+        r = rows[first[t]:first[t] + n_entries[t]]
+        total += int((np.abs(r).sum(axis=1) > 0).sum())
+    return total
 
 
 @pytest.mark.parametrize("seed", list(range(8)) + [200, 201])
@@ -126,14 +149,15 @@ def test_pairing_fuzz_command_sequence(seed):
 
     scene = random_scene(seed, groups=seed >= 200)
     plain = run_entries(scene, SHARED_CFG, pair=False)
-    paired = run_entries(scene, SHARED_CFG, pair=True)
-    np.testing.assert_array_equal(np.asarray(paired.solid),
-                                  np.asarray(plain.solid))
-    np.testing.assert_array_equal(np.asarray(paired.counts),
-                                  np.asarray(plain.counts))
-    for t, (a, b) in enumerate(zip(decode_stream(plain),
-                                   decode_stream(paired))):
-        assert a == b, f"seed {seed} tile {t}"
+    for mode in ("compact", "hole"):
+        paired = run_entries(scene, SHARED_CFG, pair=mode)
+        np.testing.assert_array_equal(np.asarray(paired.solid),
+                                      np.asarray(plain.solid))
+        np.testing.assert_array_equal(np.asarray(paired.counts),
+                                      np.asarray(plain.counts))
+        for t, (a, b) in enumerate(zip(decode_stream(plain),
+                                       decode_stream(paired))):
+            assert a == b, f"seed {seed} {mode} tile {t}"
 
 
 def test_pairing_image_exact_interpret():

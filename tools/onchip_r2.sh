@@ -19,7 +19,8 @@ say() { echo "[$(stamp)] $*" | tee -a "$LOG"; }
 say "=== on-chip round-2 sweep start ==="
 
 say "--- 1. hardware bit-exactness"
-timeout 3000 python -m pytest tests/test_tpu_exact.py -q 2>&1 | tail -3 | tee -a "$LOG"
+timeout 3000 env PIET_TESTS_TPU=1 \
+  python -m pytest tests/test_tpu_exact.py -q 2>&1 | tail -3 | tee -a "$LOG"
 
 say "--- 2. engine equality on chip (coarse xla vs pallas, 4K tiger)"
 timeout 3000 python - <<'PY' 2>&1 | tail -4 | tee -a "$LOG"
