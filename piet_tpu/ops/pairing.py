@@ -44,7 +44,7 @@ from ..raster.ptcl import CMD_FILL, CMD_LINE
 f32 = jnp.float32
 
 
-def pair_mode_from_env(default: str = "hole") -> str:
+def pair_mode_from_env(default: str = "off") -> str:
     """Resolve the PIET_PAIR env knob: 0 = off, 1 = compact, hole/off/
     compact by name.  Shared by the renderer and the profiler so both
     run the same pipeline."""

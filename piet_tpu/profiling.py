@@ -158,6 +158,8 @@ def profile_render(scene, config: RenderConfig, *, fine_impl: str = "auto",
             return fine_rasterize_entries(
                 f, n, s, st, 0, tile_h=config.tile_height,
                 tile_w=config.tile_width, tiles_x=config.tiles_x,
+                paired=kw["pair"] != "off",
+                rowwin=os.environ.get("PIET_ROWWIN", "1") == "1",
                 interpret=interpret)
 
         results["fine"] = round(_time_pipelined(

@@ -185,10 +185,12 @@ def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
                      else "xla"),
         # Entry pairing (ops/pairing.py): PIET_PAIR in {0, 1, hole}
         # (0 = off, 1 = merge + compact, hole = merge + in-place no-op
-        # seconds).  Default "hole": compaction's record-sized
-        # scatter/gather measured +3.5 ms at 4K tiger on the XLA path,
-        # more than the fine-dispatch saving; holes keep the saving
-        # without the compaction.
+        # seconds).  Default "off": measured on chip at 4K tiger (round
+        # 2), every pairing mode LOSES end-to-end -- off 9.9 ms vs
+        # hole 13.5 / compact+xla 13.5 / compact+pallas 11.0: the
+        # coarse-side merge machinery costs more than the fine-dispatch
+        # saving, and the row-windowed fine kernel (ops/fine.py) shrank
+        # the per-entry cost pairing was built to amortize.
         pair=pair_mode_from_env())
     if fine_impl == "xla":
         # Portable path: dense (T, CAP) PTCL + pure-XLA interpreter.
@@ -208,7 +210,9 @@ def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
             coarse.first, coarse.n_entries,
             _solid_to_present_u32(coarse.solid), coarse.stream, row0,
             tile_h=config.tile_height, tile_w=config.tile_width,
-            tiles_x=tiles_x, interpret=interpret)
+            tiles_x=tiles_x, paired=base_kw["pair"] != "off",
+            rowwin=os.environ.get("PIET_ROWWIN", "1") == "1",
+            interpret=interpret)
         bail2d = coarse.solid.reshape(tiles_y, tiles_x) != 0
         stats = {
             "max_tile_cmds": coarse.counts.max(),

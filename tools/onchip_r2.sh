@@ -42,7 +42,12 @@ kw = dict(tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y, tile_w=cfg.tile_width,
           output="entries", sort_impl="pallas")
 a = jax.jit(lambda d: coarse_rasterize(d, expand_impl="xla", **kw)[:-1])(dev)
 b = jax.jit(lambda d: coarse_rasterize(d, expand_impl="pallas", **kw)[:-1])(dev)
-ok = all(np.array_equal(np.asarray(x), np.asarray(y))
+def bits(x):
+    x = np.asarray(x)
+    return x.view(np.uint32) if x.dtype == np.float32 else x
+# Bitwise equality: the f32 entry stream carries bitcast-int payload
+# words whose bit patterns can be NaN (NaN != NaN under array_equal).
+ok = all(np.array_equal(bits(x), bits(y))
          for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
 print("engines bit-identical on chip:", ok)
 PY
