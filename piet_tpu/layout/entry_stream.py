@@ -19,7 +19,8 @@ per (16, 128) block for vreg-aligned DMA, see ops/coarse.py):
   word 13     (candidate rows, where slot 1 is empty) opaque-solid bail
               color, present-format u32 bitcast to f32
   word 14     meta bits (see META_*)
-  word 15     zero padding
+  word 15     run word (see W_RUN): signed same-class run length for the
+              fine kernel's run dispatch; zero on non-run entries
 
 Slot 0 carries FillEdge / Line / tail commands (draw-command operand words
 8-11 are the clip rect, riding in words 9-12 of the record -- legal because
@@ -43,19 +44,29 @@ N_S1_ARGS = 5
 
 W_BAIL = 13     #: candidate rows: opaque-solid bail color (u32 as f32)
 W_META = 14     #: meta bits (integer-valued f32)
-W_PAD = 15      #: always zero
+W_RUN = 15      #: run word: +L = L-entry plain-fill run starts here,
+                #: -L = L-entry line run, 0 = no run (single dispatch).
+                #: "Run" = maximal streak of adjacent same-(tile, class)
+                #: entries; EVERY entry of a run stores its REMAINING
+                #: length, so interpretation may begin mid-run (the bail
+                #: reset can land there).  Capped at RUN_CAP.
+W_PAD = W_RUN   #: historical name (the word was zero padding pre-run)
 
 #: META word bit layout (held exactly in f32: values < 2^4).
 META_NCMDS_MASK = 0b11   #: live command count of this entry (0..2)
 META_OPAQUE_BIT = 1 << 2 #: entry is an opaque solid (enables tile bail)
 META_CLEAR_BIT = 1 << 3  #: entry clears accumulator state (stroke/draw end)
 
+#: Maximum encoded run length (exact in f32 with huge margin; bounds the
+#: fine kernel's single-dispatch batch).
+RUN_CAP = 4096
+
 
 def _static_check() -> None:
     assert W_S0_ARG + N_S0_ARGS == W_S1_TAG
     assert W_S1_ARG + N_S1_ARGS == W_META
     assert W_BAIL == W_S1_ARG + 4  # shares slot-1 arg 4 (unused by CmdFill)
-    assert W_PAD == ENTRY_WORDS - 1
+    assert W_RUN == ENTRY_WORDS - 1
 
 
 _static_check()

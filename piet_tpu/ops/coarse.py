@@ -52,8 +52,8 @@ import jax
 import jax.numpy as jnp
 
 from ..layout.entry_stream import (ENTRY_WORDS, META_CLEAR_BIT,
-                                   META_NCMDS_MASK, META_OPAQUE_BIT, W_BAIL,
-                                   W_META)
+                                   META_NCMDS_MASK, META_OPAQUE_BIT, RUN_CAP,
+                                   W_BAIL, W_META, W_RUN, W_S0_TAG, W_S1_TAG)
 from ..raster.ptcl import (ARG_WORDS, CMD_CIRCLE, CMD_DRAW_FILL, CMD_FILL,
                            CMD_FILL_EDGE, CMD_LINE, CMD_SOLID, CMD_STROKE)
 from ..raster.ptcl import (CMD_BEGIN_CLIP, CMD_BEGIN_LAYER, CMD_END_CLIP,
@@ -918,6 +918,41 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
             stage_probe("pairing", stream16)
         else:
             stage_probe("pairing", e_tile)
+        if pair_mode == "off":
+            # Run-length annotation (W_RUN): the fine kernel's RUN
+            # DISPATCH interprets a maximal streak of adjacent same-class
+            # entries -- plain fills (slot-1-only) or lines -- under ONE
+            # tag read + class branch instead of one per entry (the
+            # per-entry scalar dispatch is the measured fine-kernel
+            # bottleneck, ROADMAP.md).  Entry ORDER is untouched: the
+            # dispatch is hoisted, not the math, so images stay
+            # bit-identical.  Every entry stores the length REMAINING
+            # from itself (the bail reset can start interpretation
+            # mid-run).  Class rides the key so boundaries are exactly
+            # where tkey changes; adjacent same-class entries of
+            # DIFFERENT items merge legally (area adds / df mins apply
+            # in unchanged order).
+            t0w = stream16[:, W_S0_TAG]
+            t1w = stream16[:, W_S1_TAG]
+            run_pf = live & (t0w == 0.0) & (t1w == f32(CMD_FILL))
+            run_ln = live & (t0w == f32(CMD_LINE)) & (t1w == 0.0)
+            clsf = jnp.where(run_pf, f32(1.0),
+                             jnp.where(run_ln, f32(2.0), f32(0.0)))
+            assert 3 * (n_tiles + 1) < 2**24, "run-key f32 range"
+            tkey = clsf * f32(n_tiles + 1) + jnp.minimum(
+                e_tile, n_tiles).astype(f32)
+            prev = jnp.concatenate([jnp.full((1,), f32(-1.0)), tkey[:-1]])
+            eidxf = jnp.arange(E, dtype=f32)
+            bnd = jnp.where(tkey != prev, eidxf, f32(E))
+            nxt = jax.lax.cummin(bnd, reverse=True)
+            next_b = jnp.concatenate([nxt[1:], jnp.full((1,), f32(E))])
+            run_len = jnp.minimum(next_b - eidxf, f32(RUN_CAP))
+            w_run = jnp.where(run_pf, run_len,
+                              jnp.where(run_ln, -run_len, f32(0.0)))
+            stream16 = stream16.at[:, W_RUN].set(w_run)
+            stage_probe("runs", w_run)
+        else:
+            stage_probe("runs", e_tile)
     else:
         src_is_hit = sorted_idx < max_hits
         hidx = jnp.minimum(sorted_idx, max_hits - 1)

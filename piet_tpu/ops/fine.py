@@ -40,8 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..layout.entry_stream import (ENTRY_WORDS, W_S0_ARG, W_S0_TAG, W_S1_ARG,
-                                   W_S1_TAG)
+from ..layout.entry_stream import (ENTRY_WORDS, W_RUN, W_S0_ARG, W_S0_TAG,
+                                   W_S1_ARG, W_S1_TAG)
 from ..raster.ptcl import (ARG_WORDS, CMD_BEGIN_CLIP, CMD_BEGIN_LAYER,
                            CMD_CIRCLE, CMD_DRAW_FILL, CMD_END_CLIP,
                            CMD_END_LAYER, CMD_FILL, CMD_FILL_EDGE, CMD_LINE,
@@ -234,7 +234,7 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                          cov_s, sv_r, sv_g, sv_b, depth_s, sems,
                          *, tile_h: int, tile_w: int, tiles_x: int,
                          direct: bool, paired: bool, rowwin: bool,
-                         interpret: bool):
+                         runs: bool, interpret: bool):
     if interpret:
         bar = jax.lax.optimization_barrier  # best-effort (see cmd_math.py)
     else:
@@ -374,6 +374,52 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
         def _():
             chunk_dma(slot, ci).wait()
 
+        # ---- shared unpaired fill/line evaluators (run dispatch) --------
+        # One plain fill / one line, row-windowed when the window fits --
+        # exactly the unpaired math of accum_entry below, shared by the
+        # run bodies and the edge-entry slot-1 fill.
+        def fill_one(s1arg):
+            if use_win:
+                sy1, ey1 = s1arg(1), s1arg(3)
+                rs, fits = row_window(jnp.minimum(sy1, ey1),
+                                      jnp.maximum(sy1, ey1))
+
+                @pl.when(fits)
+                def _():
+                    YW = IOTW + (y0 + rs.astype(jnp.float32))
+                    m, d = fill_delta(s1arg, XW, YW, bar)
+                    aw = area_s[pl.ds(rs, WH), :]
+                    area_s[pl.ds(rs, WH), :] = jnp.where(m, aw + d, aw)
+
+                @pl.when(jnp.logical_not(fits))
+                def _():
+                    m, d = fill_delta(s1arg, X, Y, bar)
+                    area_s[:] = jnp.where(m, area_s[:] + d, area_s[:])
+            else:
+                m, d = fill_delta(s1arg, X, Y, bar)
+                area_s[:] = jnp.where(m, area_s[:] + d, area_s[:])
+
+        def line_one(s0arg):
+            if use_win:
+                sy, ey, thr = s0arg(1), s0arg(3), s0arg(4)
+                rs, fits = row_window(jnp.minimum(sy, ey) - thr,
+                                      jnp.maximum(sy, ey) + thr)
+
+                @pl.when(fits)
+                def _():
+                    YW = IOTW + (y0 + rs.astype(jnp.float32))
+                    df_s[pl.ds(rs, WH), :] = jnp.minimum(
+                        df_s[pl.ds(rs, WH), :],
+                        line_field_sq(s0arg, XW, YW, bar))
+
+                @pl.when(jnp.logical_not(fits))
+                def _():
+                    df_s[:] = jnp.minimum(df_s[:],
+                                          line_field_sq(s0arg, X, Y, bar))
+            else:
+                df_s[:] = jnp.minimum(df_s[:],
+                                      line_field_sq(s0arg, X, Y, bar))
+
         def accum_entry(j):
             """One entry: predicated class blocks (fewest scalar reads --
             the scalar unit is a measured per-entry bottleneck, so the
@@ -399,6 +445,31 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
             # order).  The pair tests are NESTED (taken-class only) so
             # the top-level dispatch test count is unchanged -- a new
             # top-level branch measured +3.5 ms at 4K (ROADMAP dead-end).
+            if runs:
+                # Lines are ALWAYS run entries (W_RUN < 0), dispatched by
+                # the while-loop run driver -- this path never sees one.
+                pass
+            else:
+                line_block(tag0, slot, blk, lane, s0arg, s1arg)
+
+            @pl.when(tag0 == CMD_FILL_EDGE)
+            def _():
+                area_s[:] = area_s[:] + edge_delta(s0arg, Y, bar)
+
+            if runs:
+                # Slot-1 fills here ride edge entries only (plain fills
+                # are run entries); unpaired math, shared helper.
+                @pl.when(cmds_s[slot, blk, W_S1_TAG, lane]
+                         == float(CMD_FILL))
+                def _():
+                    fill_one(s1arg)
+            else:
+                fill_block(tag0, slot, blk, lane, s0arg, s1arg)
+
+            resolve_block(tag0, s0arg)
+            group_block(tag0, s0arg)
+
+        def line_block(tag0, slot, blk, lane, s0arg, s1arg):
             @pl.when(tag0 == CMD_LINE)
             def _():
                 if paired:
@@ -444,10 +515,7 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                 else:
                     line_full()
 
-            @pl.when(tag0 == CMD_FILL_EDGE)
-            def _():
-                area_s[:] = area_s[:] + edge_delta(s0arg, Y, bar)
-
+        def fill_block(tag0, slot, blk, lane, s0arg, s1arg):
             @pl.when(cmds_s[slot, blk, W_S1_TAG, lane] == float(CMD_FILL))
             def _():
                 if paired:
@@ -495,6 +563,7 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                 else:
                     fill_full()
 
+        def resolve_block(tag0, s0arg):
             is_res = ((tag0 == CMD_CIRCLE) | (tag0 == CMD_STROKE)
                       | (tag0 == CMD_DRAW_FILL) | (tag0 == CMD_SOLID))
 
@@ -530,6 +599,7 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                 df_s[:] = df2
                 area_s[:] = area2
 
+        def group_block(tag0, s0arg):
             # -- clip / layer group commands (extension; rare) -----------
             # ONE extra branch test on the hot path; the inner whens only
             # lower inside it.  Depth counters live in SMEM
@@ -595,6 +665,57 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
 
         lo = jnp.where(ci == 0, skip, 0)
         hi = jnp.minimum(total - ci * SC_ENTRIES, SC_ENTRIES)
+
+        if runs:
+            # ---- run dispatch (W_RUN, see layout/entry_stream.py) -------
+            # A maximal streak of adjacent same-class entries -- plain
+            # fills (+L) or lines (-L) -- interprets under ONE class test:
+            # the inner fori_loop does only the operand reads + vector
+            # math per entry, no tag read and no dispatch branches.  Entry
+            # ORDER is unchanged (the dispatch is hoisted, not the math),
+            # so images are bit-identical to the per-entry path.  Runs are
+            # clamped at the superchunk edge; every entry stores its
+            # REMAINING length, so the next chunk resumes mid-run.
+            def run_cond(j):
+                return j < hi
+
+            def run_body(j):
+                blk = jax.lax.shift_right_logical(j, 7)
+                lane = j & 127
+                rw = cmds_s[slot, blk, W_RUN, lane]
+                L = jnp.minimum(jnp.abs(rw).astype(jnp.int32), hi - j)
+
+                @pl.when(rw > 0.0)
+                def _():
+                    def fb(k, _):
+                        jj = j + k
+                        b2 = jax.lax.shift_right_logical(jj, 7)
+                        l2 = jj & 127
+                        fill_one(
+                            lambda q: cmds_s[slot, b2, W_S1_ARG + q, l2])
+                        return 0
+                    jax.lax.fori_loop(0, L, fb, 0)
+
+                @pl.when(rw < 0.0)
+                def _():
+                    def lb(k, _):
+                        jj = j + k
+                        b2 = jax.lax.shift_right_logical(jj, 7)
+                        l2 = jj & 127
+                        line_one(
+                            lambda q: cmds_s[slot, b2, W_S0_ARG + q, l2])
+                        return 0
+                    jax.lax.fori_loop(0, L, lb, 0)
+
+                @pl.when(rw == 0.0)
+                def _():
+                    accum_entry(j)
+
+                return j + jnp.maximum(L, 1)
+
+            jax.lax.while_loop(run_cond, run_body, lo)
+            return 0
+
         n_live = jnp.maximum(hi - lo, 0)
 
         def quad_body(q, _):
@@ -641,11 +762,13 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "tiles_x",
-                                             "paired", "rowwin", "interpret"))
+                                             "paired", "rowwin", "runs",
+                                             "interpret"))
 def fine_rasterize_entries(first: jax.Array, n_entries: jax.Array,
                            solid: jax.Array, stream: jax.Array, row0=0, *,
                            tile_h: int, tile_w: int, tiles_x: int,
                            paired: bool = True, rowwin: bool = True,
+                           runs: bool = False,
                            interpret: bool = False) -> jax.Array:
     """Rasterize all tiles from an entry stream (CoarseEntries).
 
@@ -661,6 +784,9 @@ def fine_rasterize_entries(first: jax.Array, n_entries: jax.Array,
         (ops/pairing.py); False skips their nested dispatch entirely.
       rowwin: enable the row-windowed fill/line fast path (bitwise
         image-identical either way; a pure perf knob).
+      runs: enable run dispatch -- the stream's W_RUN word must carry
+        the coarse pass's run-length annotation (pair mode "off" only);
+        bitwise image-identical to the per-entry path, a pure perf knob.
 
     Returns:
       (T // tiles_x * tile_h, tiles_x * tile_w) uint32 packed RGBA8 pixels.
@@ -670,9 +796,12 @@ def fine_rasterize_entries(first: jax.Array, n_entries: jax.Array,
     # When the tile block is vreg-aligned, write framebuffer layout
     # directly (no (T, th, tw) -> (H, W) transpose pass).
     direct = (tile_w % 128 == 0) and (tile_h % 8 == 0)
+    if runs and paired:
+        raise ValueError("run dispatch requires an unpaired stream")
     kernel = functools.partial(
         _fine_entries_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
-        direct=direct, paired=paired, rowwin=rowwin, interpret=interpret)
+        direct=direct, paired=paired, rowwin=rowwin, runs=runs,
+        interpret=interpret)
     if direct:
         out_specs = pl.BlockSpec(
             (tile_h, tile_w),

@@ -49,6 +49,7 @@ STAGE_ORDER = (
     "sort",           # the global stable sort
     "sorted_gather",  # sorted-order row gather
     "pairing",        # same-class entry pairing + compaction
+    "runs",           # same-class run-length annotation (run dispatch)
     "tile_reduce",    # fused per-tile range/bail reductions
 )
 
@@ -135,7 +136,8 @@ def profile_render(scene, config: RenderConfig, *, fine_impl: str = "auto",
     results: Dict[str, float] = {}
     prev = 0.0
     for k, name in enumerate(STAGE_ORDER):
-        if kw["output"] != "entries" and name in ("rows", "sorted_gather"):
+        if kw["output"] != "entries" and name in ("rows", "sorted_gather",
+                                                  "runs"):
             continue
         ms = _time_pipelined(prefix_fn(k), (dev,), reps)
         results[name] = round(ms - prev, 3)

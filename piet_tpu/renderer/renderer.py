@@ -212,6 +212,11 @@ def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
             tile_h=config.tile_height, tile_w=config.tile_width,
             tiles_x=tiles_x, paired=base_kw["pair"] != "off",
             rowwin=os.environ.get("PIET_ROWWIN", "1") == "1",
+            # Run dispatch (ops/fine.py): hoists class dispatch out of
+            # same-class entry streaks; needs the coarse W_RUN annotation,
+            # which only unpaired streams carry.
+            runs=(base_kw["pair"] == "off"
+                  and os.environ.get("PIET_RUNS", "1") == "1"),
             interpret=interpret)
         bail2d = coarse.solid.reshape(tiles_y, tiles_x) != 0
         stats = {
