@@ -25,7 +25,14 @@ def scene_module() -> Module:
             ("bbox", vec(u16, 4)),
         ]),
         # Variant structs carry a 4-byte tag offset (embedded in PietItem).
-        _s("PietCircle", [], tag_offset=4),
+        # Reference variants 1-4.  Fields past the reference's layout
+        # (flags on Circle/Poly, clip_ix / grad_ix byte refs) ride words the
+        # reference zero-fills, so reference scenes encode byte-identically
+        # (a ref of 0 -- the group header -- means "absent").
+        _s("PietCircle", [
+            ("flags", u32),
+            ("clip_ix", Ref("f32")),
+        ], tag_offset=4),
         _s("PietStrokeLine", [
             ("flags", u32),
             ("rgba_color", u32),
@@ -38,18 +45,49 @@ def scene_module() -> Module:
             ("rgba_color", u32),
             ("n_points", u32),
             ("points_ix", Ref("f32")),
+            ("grad_ix", Ref("f32")),
+            ("clip_ix", Ref("f32")),
         ], tag_offset=4),
         _s("PietStrokePolyLine", [
             ("rgba_color", u32),
             ("width", f32),
             ("n_points", u32),
             ("points_ix", Ref("f32")),
+            ("flags", u32),
+            ("clip_ix", Ref("f32")),
+        ], tag_offset=4),
+        # Extension variants 5-8 (piet-tpu items beyond the reference's
+        # four: clip/layer groups, and a rect-clipped line whose inline
+        # layout has no free word -- its points spill out-of-line).
+        _s("PietClip", [
+            ("flags", u32),
+            ("n_points", u32),
+            ("points_ix", Ref("f32")),
+        ], tag_offset=4),
+        _s("PietPop", [
+            ("flags", u32),
+            ("alpha", f32),
+        ], tag_offset=4),
+        _s("PietLayer", [
+            ("flags", u32),
+            ("alpha", f32),
+        ], tag_offset=4),
+        _s("PietLineExt", [
+            ("flags", u32),
+            ("rgba_color", u32),
+            ("width", f32),
+            ("points_ix", Ref("f32")),
+            ("clip_ix", Ref("f32")),
         ], tag_offset=4),
         Enum("PietItem", [
             ("Circle", "PietCircle"),
             ("Line", "PietStrokeLine"),
             ("Fill", "PietFill"),
             ("Poly", "PietStrokePolyLine"),
+            ("Clip", "PietClip"),
+            ("Pop", "PietPop"),
+            ("Layer", "PietLayer"),
+            ("LineExt", "PietLineExt"),
         ], first_tag=1),
     ])
     return pack_module(m)

@@ -134,16 +134,58 @@ class TestWireFormat:
         assert list(scene2.flags) == [1, 0]
         assert encode_scene(scene2) == buf
 
-    def test_clip_rects_refuse_wire_encoding(self):
-        """Per-item clip rects have no wire encoding; encode_scene must
-        refuse rather than silently drop them (Scene.save covers them)."""
+    def _soa_equal(self, a, b):
+        for f in ("tags", "colors", "widths", "bboxes", "pt_offset",
+                  "n_pts", "points", "flags", "clips", "grads"):
+            np.testing.assert_array_equal(getattr(a, f), getattr(b, f),
+                                          err_msg=f"field {f}")
+
+    def test_clip_rects_roundtrip(self):
+        """Per-item clip rects ride out-of-line payloads (clip_ix words);
+        a clipped Line spills to the LineExt variant (tag 8) because its
+        inline layout has no free word."""
+        from piet_tpu.scene.wire import TAG_LINE_EXT
         b = SceneBuilder()
-        b.begin_group(1)
+        b.begin_group(4)
         b.set_clip(0.0, 0.0, 4.0, 4.0)
         b.circle(10, 10, 5)
+        b.stroke_line((1, 1), (9, 9), 2.0, 0x112233FF)
+        b.fill([(0, 0), (8, 0), (8, 8)], 0xFF0000FF)
+        b.polyline([(0, 0), (4, 4), (8, 0)], 0x00FF00FF, 1.5)
         b.end_group()
-        with pytest.raises(ValueError, match="clip"):
-            encode_scene(b.build())
+        scene = b.build()
+        buf = encode_scene(scene)
+        # The clipped line is re-tagged on the wire only.
+        (line_tag,) = struct.unpack_from("<I", buf, 8 + 4 * 8 + 32)
+        assert line_tag == TAG_LINE_EXT
+        scene2 = decode_scene(buf)
+        assert list(scene2.tags) == [1, 2, 3, 4]
+        self._soa_equal(scene, scene2)
+        assert encode_scene(scene2) == buf
+
+    def test_group_and_gradient_items_roundtrip(self):
+        """Extension items (clip/layer/pop groups, gradient brushes,
+        combined multi-subpath fills) round-trip wire -> SoA -> wire."""
+        from piet_tpu.scene.scene import LinearGradient, RadialGradient
+        b = SceneBuilder()
+        b.clip_path([(0, 0), (64, 0), (32, 64)], even_odd=True)
+        b.fill([(1, 1), (63, 1), (63, 63), (1, 63)], 0x2040C0FF)
+        b.push_layer(0.5)
+        b.circle(32, 32, 16)
+        b.fill([(4, 4), (60, 4), (32, 60)],
+               LinearGradient((4, 4), (60, 60), 0xFF0000FF, 0x0000FFFF))
+        b.pop()
+        b.pop()
+        b.fill([(0, 0), (16, 0), (8, 16)],
+               RadialGradient((8, 8), 10.0, 0x00FF00FF, 0xFF00FFFF))
+        b.fill_path([[(0, 0), (32, 0), (32, 32), (0, 32)],
+                     [(8, 8), (8, 24), (24, 24), (24, 8)]],
+                    0x808080FF, combined=True)
+        scene = b.build()
+        buf = encode_scene(scene)
+        scene2 = decode_scene(buf)
+        self._soa_equal(scene, scene2)
+        assert encode_scene(scene2) == buf
 
 
 class TestBuilders:
@@ -207,7 +249,9 @@ def test_layout_describe_matches_reference_constants():
     assert scene["structs"]["SimpleGroup"]["size"] == 16
     assert scene["enums"]["PietItem"]["size"] == 32
     assert scene["enums"]["PietItem"]["tags"] == {
-        "Circle": 1, "Line": 2, "Fill": 3, "Poly": 4}
+        "Circle": 1, "Line": 2, "Fill": 3, "Poly": 4,
+        # extension variants (scene/wire.py): reference tags untouched
+        "Clip": 5, "Pop": 6, "Layer": 7, "LineExt": 8}
     ptcl = describe(ptcl_module())
     assert ptcl["enums"]["Cmd"]["tags"] == {
         "End": 1, "Circle": 2, "Line": 3, "Fill": 4, "Stroke": 5,

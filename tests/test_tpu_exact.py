@@ -16,14 +16,29 @@ jax = pytest.importorskip("jax")
 
 
 def _tpu_available() -> bool:
+    # The attached chip may come through a plugin backend (axon) whose
+    # platform registration differs between jax versions: probe the
+    # default backend and the full device list, not only the "tpu"
+    # backend name (round-2 post-mortem: jax.devices("tpu") returned
+    # empty under one plugin registration and the whole suite silently
+    # skipped while the same chip compiled fine).
     try:
-        return any(d.platform == "tpu" for d in jax.devices("tpu"))
+        if jax.default_backend() == "tpu":
+            return True
+        return any(d.platform == "tpu" for d in jax.devices())
     except RuntimeError:
         return False
 
 
 pytestmark = pytest.mark.skipif(not _tpu_available(),
                                 reason="no TPU attached")
+
+
+def _tpu_device():
+    try:
+        return jax.devices("tpu")[0]
+    except RuntimeError:
+        return next(d for d in jax.devices() if d.platform == "tpu")
 
 
 def test_fine_kernel_bit_exact_on_tpu():
@@ -38,7 +53,7 @@ def test_fine_kernel_bit_exact_on_tpu():
     scene = make_tiger(scale=1.0)
     ptcl = cpu_tile_scene(scene, cfg)
     gold = cpu_render_ptcl(ptcl, cfg)
-    tpu = jax.devices("tpu")[0]
+    tpu = _tpu_device()
     with jax.default_device(tpu):
         img_u32 = fine_rasterize(
             ptcl.counts.reshape(cfg.tiles_y, cfg.tiles_x), ptcl.tags,
@@ -68,7 +83,7 @@ def test_full_renderer_bit_exact_on_tpu():
                        max_segments=1 << 15, max_hits=1 << 17,
                        max_candidates=1 << 14, max_deltas=1 << 15)
     scene = make_tiger(scale=1.0)
-    with jax.default_device(jax.devices("tpu")[0]):
+    with jax.default_device(_tpu_device()):
         img = Renderer(cfg, fine_impl="pallas").render(scene)
     gold = cpu_render_scene(scene, cfg)
     np.testing.assert_array_equal(img, gold)
@@ -101,7 +116,7 @@ def test_full_renderer_bit_exact_on_tpu_32row_tiles():
                        max_segments=1 << 15, max_hits=1 << 17,
                        max_candidates=1 << 14, max_deltas=1 << 15)
     scene = make_tiger(scale=1.2)
-    with jax.default_device(jax.devices("tpu")[0]):
+    with jax.default_device(_tpu_device()):
         img = Renderer(cfg, fine_impl="pallas").render(scene)
     gold = cpu_render_scene(scene, cfg)
     diff = np.abs(img.astype(int) - gold.astype(int))
@@ -139,7 +154,7 @@ def test_clip_layer_scene_exact_on_tpu():
     scene = b.build()
     cfg = RenderConfig(width=256, height=256, tile_height=16, tile_width=128,
                        cmd_capacity=1024)
-    with jax.default_device(jax.devices("tpu")[0]):
+    with jax.default_device(_tpu_device()):
         img = Renderer(cfg, fine_impl="pallas").render(scene)
     gold = cpu_render_scene(scene, cfg)
     np.testing.assert_array_equal(img, gold)
@@ -159,7 +174,7 @@ def test_gradient_scene_exact_on_tpu():
     scene = make_gradient_demo(256)
     cfg = RenderConfig(width=256, height=256, tile_height=16,
                        tile_width=128, cmd_capacity=256)
-    with jax.default_device(jax.devices("tpu")[0]):
+    with jax.default_device(_tpu_device()):
         img = Renderer(cfg, fine_impl="pallas").render(scene)
     gold = cpu_render_scene(scene, cfg)
     np.testing.assert_array_equal(img, gold)
@@ -189,7 +204,7 @@ def test_engine_path_bit_identical_on_tpu():
               max_hits=cfg.max_hits, max_candidates=cfg.max_candidates,
               max_deltas=cfg.max_deltas, output="entries",
               sort_impl="pallas")
-    with jax.default_device(jax.devices("tpu")[0]):
+    with jax.default_device(_tpu_device()):
         dev = prepare_scene(scene, cfg)
         ref = jax.jit(lambda d: coarse_rasterize(
             d, expand_impl="xla", **kw)[:-1])(dev)
