@@ -67,6 +67,27 @@ from ..scene.scene import (FLAG_BRUSH_LINEAR, FLAG_BRUSH_RADIAL,
 from .expand import expand_rows, expand_rows_xla
 from .gatherm import gather_monotone
 from .keyed import keyed_sum, keyed_sum_xla
+
+#: The coarse pass's three opt-in MXU/Pallas engines.
+ENGINES = frozenset({"expand", "keyed", "gatherm"})
+
+
+def engine_set(expand_impl: str) -> tuple[frozenset, bool]:
+    """Parse an ``expand_impl`` string into (enabled engines, interpret).
+
+    "xla" -> none; "pallas" -> all three; "pallas_interpret" -> all three
+    in Mosaic interpret mode (the CPU test vehicle); "pallas:a,b" -> a
+    subset by name -- the on-chip bisect vehicle (tools/engine_probe.py).
+    """
+    if expand_impl in ("pallas", "pallas_interpret"):
+        return ENGINES, expand_impl == "pallas_interpret"
+    if expand_impl.startswith("pallas:"):
+        sub = frozenset(filter(None, expand_impl[7:].split(",")))
+        unknown = sub - ENGINES
+        if unknown:
+            raise ValueError(f"unknown coarse engines: {sorted(unknown)}")
+        return sub, False
+    return frozenset(), False
 from .pairing import pair_entries
 from .sort import stable_sort_multi
 
@@ -199,9 +220,11 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     """row0: first tile row of this shard's slab (traced OK); tiles_y is
     the number of LOCAL rows.  Defaults cover the whole viewport.
 
-    expand_impl: "pallas" = the MXU expansion/gather engine
-    (ops/expand.py; real-TPU only), "xla" = the portable
-    scatter+cummax+gather path.  Outputs are bit-identical.
+    expand_impl: "pallas" = the MXU expansion/gather engines
+    (ops/expand.py, ops/keyed.py, ops/gatherm.py; real-TPU only),
+    "pallas:expand,keyed" = a named subset (the bisect vehicle),
+    "xla" = the portable scatter+cummax+gather path.  Outputs are
+    bit-identical (pinned on chip by tools/engine_probe.py).
 
     pair: entry pairing (ops/pairing.py): False/"off" disables,
     True/"compact" merges and compacts the stream, "hole" merges and
@@ -233,25 +256,24 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     def i2f(x):
         return jax.lax.bitcast_convert_type(x.astype(jnp.int32), f32)
 
+    engines, eng_interp = engine_set(expand_impl)
+
     def exp_rows(rows, counts, cap, excl):
         """Ragged expansion + row gather: the MXU engine on TPU, the XLA
         scatter+cummax+gather elsewhere; outputs bit-identical (dead
         slots carry all-zero rows on BOTH paths)."""
-        if expand_impl == "pallas":
-            return expand_rows(rows, counts, cap, excl)
-        if expand_impl == "pallas_interpret":  # test vehicle off-chip
-            return expand_rows(rows, counts, cap, excl, interpret=True)
+        if "expand" in engines:
+            return expand_rows(rows, counts, cap, excl,
+                               interpret=eng_interp)
         return expand_rows_xla(rows, counts, cap, excl)
 
     def ksum(values, keys, lo_b, hi_b, n_out):
         """Keyed integer sum (ops/keyed.py): MXU histogram on TPU, XLA
         segment_sum elsewhere; bit-identical (integer sums < 2^24 are
         order-free exact in f32)."""
-        if expand_impl == "pallas":
-            return keyed_sum(values, keys, lo_b, hi_b, n_out)
-        if expand_impl == "pallas_interpret":
+        if "keyed" in engines:
             return keyed_sum(values, keys, lo_b, hi_b, n_out,
-                             interpret=True)
+                             interpret=eng_interp)
         return keyed_sum_xla(values, keys, lo_b, hi_b, n_out)
 
     # ---- item bbox tile rects + candidate expansion -------------------
@@ -332,7 +354,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     i0 = s_ptoff + seg_local
     s_is_fill_tag = (s_tag == TAG_FILL) | (s_tag == TAG_CLIP)
     wrap = s_is_fill_tag & (seg_local + 1 == s_npts)
-    if expand_impl in ("pallas", "pallas_interpret"):
+    if "gatherm" in engines:
         # Endpoint fetch on the monotone-gather engine (ops/gatherm.py):
         # i0 is nondecreasing across live segments (items in encode
         # order, each walking its point block front to back), and so is
@@ -342,8 +364,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         i0_g = jnp.where(seg_valid, jnp.clip(i0, 0, np_max), np_max)
         j1_g = jnp.where(seg_valid, jnp.clip(i0 + 1, 0, np_max), np_max)
         p0e, p1n = gather_monotone(
-            scene.points, (i0_g, j1_g),
-            interpret=expand_impl == "pallas_interpret")
+            scene.points, (i0_g, j1_g), interpret=eng_interp)
         p1e = jnp.where(wrap[:, None], sitem_f[:, 12:14], p1n)
     else:
         i1 = jnp.where(wrap, s_ptoff, i0 + 1)
@@ -639,11 +660,10 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     # cand_row_start is nondecreasing (candidates expand item- and
     # row-major; dead slots continue as cand_idx), so the row-start base
     # fetch rides the monotone-gather engine on the Pallas path.
-    if expand_impl in ("pallas", "pallas_interpret"):
+    if "gatherm" in engines:
         sb_idx = jnp.clip(cand_row_start - 1, 0, max_candidates - 1)
         (sb,) = gather_monotone(
-            csum[:, None], (sb_idx,),
-            interpret=expand_impl == "pallas_interpret")
+            csum[:, None], (sb_idx,), interpret=eng_interp)
         start_base = jnp.where(cand_row_start > 0, sb[:, 0], 0.0)
     else:
         start_base = jnp.where(cand_row_start > 0,

@@ -160,7 +160,9 @@ def pair_entries(rows: jax.Array, keys: Tuple[jax.Array, ...],
     total = keep.sum().astype(jnp.int32)
     new_live = idx < total
     mncmds = e_ncmds + has_partner.astype(jnp.int32)
-    if expand_impl in ("pallas", "pallas_interpret"):
+    from .coarse import engine_set
+    engines, eng_interp = engine_set(expand_impl)
+    if "expand" in engines:
         # Compaction IS ragged expansion with 0/1 counts: out[j] = the
         # j-th kept row.  One MXU engine pass replaces the position
         # scatter plus the (E, 20)-row gather (both scalar-core in XLA).
@@ -171,7 +173,7 @@ def pair_entries(rows: jax.Array, keys: Tuple[jax.Array, ...],
              e_is_opaque.astype(f32)[:, None],
              e_is_clear.astype(f32)[:, None]], axis=1)
         out = expand_rows(bundle, keep.astype(jnp.int32), E,
-                          interpret=expand_impl == "pallas_interpret")
+                          interpret=eng_interp)
         w = rows.shape[1]
         out_rows = jnp.where(new_live[:, None], out[:, :w], 0.0)
         out_tile = jnp.where(new_live, out[:, w].astype(jnp.int32),
