@@ -66,7 +66,10 @@ from ..scene.scene import (FLAG_BRUSH_LINEAR, FLAG_BRUSH_RADIAL,
                            TAG_POP)
 from .expand import expand_rows, expand_rows_xla
 from .gatherm import gather_monotone
+from .hitfuse import hit_records_fused
 from .keyed import keyed_sum, keyed_sum_xla
+from .pairing import pair_entries
+from .sort import stable_sort_multi
 
 #: The coarse pass's three opt-in MXU/Pallas engines.
 ENGINES = frozenset({"expand", "keyed", "gatherm"})
@@ -88,8 +91,6 @@ def engine_set(expand_impl: str) -> tuple[frozenset, bool]:
             raise ValueError(f"unknown coarse engines: {sorted(unknown)}")
         return sub, False
     return frozenset(), False
-from .pairing import pair_entries
-from .sort import stable_sort_multi
 
 
 # Barriers after the expansion/gather outputs keep XLA:TPU from fusing
@@ -216,6 +217,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                      max_deltas: int, row0=0,
                      output: str = "dense", sort_impl: str = "auto",
                      expand_impl: str = "xla", pair="compact",
+                     hitfuse: str = "off",
                      with_probes: bool = False) -> CoarseOutput:
     """row0: first tile row of this shard's slab (traced OK); tiles_y is
     the number of LOCAL rows.  Defaults cover the whole viewport.
@@ -230,6 +232,12 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     True/"compact" merges and compacts the stream, "hole" merges and
     leaves zeroed no-op seconds in place (no compaction cost; the holes
     cost only the fine kernel's dispatch floor).
+
+    hitfuse: "pallas" = the fused hit-record kernel (ops/hitfuse.py):
+    expansion + exact tests + entry-row assembly in one Pallas pass,
+    records in VMEM (real-TPU only; "pallas_interpret" = CPU test
+    vehicle).  Entries output + packed sort key only; bit-identical to
+    the staged XLA path (tests/test_hitfuse.py).
 
     with_probes=True adds ``diag["probes"]``: an ordered dict of cheap
     scalars, one per pipeline stage, each forcing exactly that stage's
@@ -469,129 +477,156 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                     xmx[:, 0], xmx[:, 1], s_hw], axis=1),
          jax.lax.bitcast_convert_type(seg_i32, f32)],
         axis=1)                                          # (S, 23)
-    ha = _db(exp_rows(
-        jnp.concatenate([seg_all, i2f(hit_excl)[:, None]], axis=1),
-        hit_counts, max_hits, hit_excl))
-    hf = ha[:, :12]
-    hi = jax.lax.bitcast_convert_type(ha[:, 12:23], jnp.int32)
+    stride = 2 * (NI + 1)
+    packed_ok = n_tiles * stride < 2**24
+    use_hitfuse = hitfuse != "off" and output == "entries" and packed_ok
     hit_idx = jnp.arange(max_hits, dtype=jnp.int32)
     hit_valid = hit_idx < n_hits
-    hit_local = hit_idx - jax.lax.bitcast_convert_type(ha[:, 23], jnp.int32)
-    h_flags = hi[:, 0]
-    h_w = jnp.maximum(hi[:, 3], 1)
-    h_dy, h_dx = _fdivmod(hit_local, h_w)
-    h_ty = hi[:, 2] + h_dy
-    h_tx = hi[:, 1] + h_dx
-    h_item = hi[:, 4]
-    h_tile = (h_ty - row0) * tiles_x + h_tx
-    h_cand = hi[:, 5] + (h_ty - hi[:, 6]) * hi[:, 7] + (h_tx - hi[:, 8])
-    stage_probe("hit_gather", h_tile, h_cand)
+    if use_hitfuse:
+        # Fused hit-record pipeline (ops/hitfuse.py): expansion + exact
+        # tests + entry rows + sort key in ONE Pallas kernel, records in
+        # VMEM end to end -- replaces the staged expansion / decode /
+        # test / assembly chain below (bit-identical either way,
+        # tests/test_hitfuse.py).
+        fused = hit_records_fused(
+            jnp.concatenate([seg_all, i2f(hit_excl)[:, None]], axis=1),
+            hit_counts, hit_excl, n_hits, row0, max_hits,
+            tile_w=tile_w, tile_h=tile_h, tiles_x=tiles_x, stride=stride,
+            interpret=hitfuse == "pallas_interpret")
+        fused = {k: _db(v) for k, v in fused.items()}
+        hit_n_cmds = fused["n_cmds"].astype(jnp.int32)
+        h_cand = fused["h_cand"].astype(jnp.int32)
+        stage_probe("hit_gather", fused["h_cand"])
+        stage_probe("hit_tests", fused["rows"], fused["n_cmds"])
+        cand_emit = ksum(
+            fused["n_cmds"][:, None], h_cand,
+            jnp.where(hit_valid, fused["cexcl"].astype(jnp.int32),
+                      max_candidates),
+            jnp.where(hit_valid, fused["cand_end"].astype(jnp.int32),
+                      max_candidates + 1),
+            max_candidates)[:, 0].astype(jnp.int32)
+    else:
+        ha = _db(exp_rows(
+            jnp.concatenate([seg_all, i2f(hit_excl)[:, None]], axis=1),
+            hit_counts, max_hits, hit_excl))
+        hf = ha[:, :12]
+        hi = jax.lax.bitcast_convert_type(ha[:, 12:23], jnp.int32)
+        hit_local = hit_idx - jax.lax.bitcast_convert_type(ha[:, 23], jnp.int32)
+        h_flags = hi[:, 0]
+        h_w = jnp.maximum(hi[:, 3], 1)
+        h_dy, h_dx = _fdivmod(hit_local, h_w)
+        h_ty = hi[:, 2] + h_dy
+        h_tx = hi[:, 1] + h_dx
+        h_item = hi[:, 4]
+        h_tile = (h_ty - row0) * tiles_x + h_tx
+        h_cand = hi[:, 5] + (h_ty - hi[:, 6]) * hi[:, 7] + (h_tx - hi[:, 8])
+        stage_probe("hit_gather", h_tile, h_cand)
 
-    # ---- exact per-record tests (f32, identical to cpu_tiler.py) ------
-    x0f = h_tx.astype(f32) * twf
-    y0f = h_ty.astype(f32) * thf
-    h_sx, h_sy, h_ex, h_ey = hf[:, 0], hf[:, 1], hf[:, 2], hf[:, 3]
-    h_a, h_b, h_c = hf[:, 4], hf[:, 5], hf[:, 6]
-    h_xmn = hf[:, 7:9]
-    h_xmx = hf[:, 9:11]
-    h_is_fill = ((h_flags & 1) != 0) & hit_valid
-    h_is_stroke = ((h_flags & 2) != 0) & hit_valid
+        # ---- exact per-record tests (f32, identical to cpu_tiler.py) ------
+        x0f = h_tx.astype(f32) * twf
+        y0f = h_ty.astype(f32) * thf
+        h_sx, h_sy, h_ex, h_ey = hf[:, 0], hf[:, 1], hf[:, 2], hf[:, 3]
+        h_a, h_b, h_c = hf[:, 4], hf[:, 5], hf[:, 6]
+        h_xmn = hf[:, 7:9]
+        h_xmx = hf[:, 9:11]
+        h_is_fill = ((h_flags & 1) != 0) & hit_valid
+        h_is_stroke = ((h_flags & 2) != 0) & hit_valid
 
-    # Fill tests (PietRender.metal:307-354).
-    ycull = (h_xmx[:, 1] >= y0f) & (h_xmn[:, 1] < y0f + thf)
-    left = _bar(h_a * x0f)
-    right = _bar(h_a * (x0f + twf))
-    ytop = jnp.maximum(y0f, h_xmn[:, 1])
-    ybot = jnp.minimum(y0f + thf, h_xmx[:, 1])
-    top = _bar(h_b * ytop)
-    bot = _bar(h_b * ybot)
-    s00 = _sign(top + left + h_c)
-    s01 = _sign(top + right + h_c)
-    s10 = _sign(bot + left + h_c)
-    s11 = _sign(bot + right + h_c)
-    four = s00 * s01 + s00 * s10 + s00 * s11 < f32(3.0)
-    crosses_left = (h_xmn[:, 0] < x0f) & (h_xmx[:, 0] > x0f)
-    t_edge = (h_sx - x0f) / h_b
-    y_edge = h_sy + _bar((h_ey - h_sy) * t_edge)
-    edge_in = crosses_left & (y_edge >= y0f) & (y_edge < y0f + thf)
-    plain = ((crosses_left & ~edge_in & four)
-             | (~crosses_left & four & (h_xmn[:, 0] < x0f + twf)
-                & (h_xmx[:, 0] > x0f)))
+        # Fill tests (PietRender.metal:307-354).
+        ycull = (h_xmx[:, 1] >= y0f) & (h_xmn[:, 1] < y0f + thf)
+        left = _bar(h_a * x0f)
+        right = _bar(h_a * (x0f + twf))
+        ytop = jnp.maximum(y0f, h_xmn[:, 1])
+        ybot = jnp.minimum(y0f + thf, h_xmx[:, 1])
+        top = _bar(h_b * ytop)
+        bot = _bar(h_b * ybot)
+        s00 = _sign(top + left + h_c)
+        s01 = _sign(top + right + h_c)
+        s10 = _sign(bot + left + h_c)
+        s11 = _sign(bot + right + h_c)
+        four = s00 * s01 + s00 * s10 + s00 * s11 < f32(3.0)
+        crosses_left = (h_xmn[:, 0] < x0f) & (h_xmx[:, 0] > x0f)
+        t_edge = (h_sx - x0f) / h_b
+        y_edge = h_sy + _bar((h_ey - h_sy) * t_edge)
+        edge_in = crosses_left & (y_edge >= y0f) & (y_edge < y0f + thf)
+        plain = ((crosses_left & ~edge_in & four)
+                 | (~crosses_left & four & (h_xmn[:, 0] < x0f + twf)
+                    & (h_xmx[:, 0] > x0f)))
 
-    fill_emit_edge = h_is_fill & ycull & edge_in
-    fill_emit_plain = h_is_fill & ycull & plain
+        fill_emit_edge = h_is_fill & ycull & edge_in
+        fill_emit_plain = h_is_fill & ycull & plain
 
-    # Clipped fill coords for the left-edge crossing (:339-344).
-    clip_sx = jnp.where(h_b > 0, h_sx, x0f)
-    clip_sy = jnp.where(h_b > 0, h_sy, y_edge)
-    clip_ex = jnp.where(h_b > 0, x0f, h_ex)
-    clip_ey = jnp.where(h_b > 0, y_edge, h_ey)
+        # Clipped fill coords for the left-edge crossing (:339-344).
+        clip_sx = jnp.where(h_b > 0, h_sx, x0f)
+        clip_sy = jnp.where(h_b > 0, h_sy, y_edge)
+        clip_ex = jnp.where(h_b > 0, x0f, h_ex)
+        clip_ey = jnp.where(h_b > 0, y_edge, h_ey)
 
-    # Stroke tests (:411-435 for polys; :223-247 for lines -- the line case
-    # has no segment bbox cull, matching the reference).
-    h_hw = hf[:, 11]
-    st_bcull = ((h_xmx[:, 1] > y0f - h_hw) & (h_xmn[:, 1] < y0f + thf + h_hw)
-                & (h_xmx[:, 0] > x0f - h_hw) & (h_xmn[:, 0] < x0f + twf + h_hw))
-    st_bcull = jnp.where((h_flags & 4) != 0, True, st_bcull)
-    sleft = _bar(h_a * (x0f - h_hw))
-    sright = _bar(h_a * (x0f + twf + h_hw))
-    stop = _bar(h_b * (y0f - h_hw))
-    sbot = _bar(h_b * (y0f + thf + h_hw))
-    z00 = _sign(stop + sleft + h_c)
-    z01 = _sign(stop + sright + h_c)
-    z10 = _sign(sbot + sleft + h_c)
-    z11 = _sign(sbot + sright + h_c)
-    st_four = z00 * z01 + z00 * z10 + z00 * z11 < f32(3.0)
-    stroke_emit = h_is_stroke & st_bcull & st_four
+        # Stroke tests (:411-435 for polys; :223-247 for lines -- the line case
+        # has no segment bbox cull, matching the reference).
+        h_hw = hf[:, 11]
+        st_bcull = ((h_xmx[:, 1] > y0f - h_hw) & (h_xmn[:, 1] < y0f + thf + h_hw)
+                    & (h_xmx[:, 0] > x0f - h_hw) & (h_xmn[:, 0] < x0f + twf + h_hw))
+        st_bcull = jnp.where((h_flags & 4) != 0, True, st_bcull)
+        sleft = _bar(h_a * (x0f - h_hw))
+        sright = _bar(h_a * (x0f + twf + h_hw))
+        stop = _bar(h_b * (y0f - h_hw))
+        sbot = _bar(h_b * (y0f + thf + h_hw))
+        z00 = _sign(stop + sleft + h_c)
+        z01 = _sign(stop + sright + h_c)
+        z10 = _sign(sbot + sleft + h_c)
+        z11 = _sign(sbot + sright + h_c)
+        st_four = z00 * z01 + z00 * z10 + z00 * z11 < f32(3.0)
+        stroke_emit = h_is_stroke & st_bcull & st_four
 
-    # Per-record command slots: slot0 = FillEdge | Line, slot1 = Fill.
-    slot0_valid = fill_emit_edge | stroke_emit
-    slot0_tag = jnp.where(stroke_emit, CMD_LINE, CMD_FILL_EDGE)
-    slot0_args = jnp.zeros((max_hits, ARG_WORDS), f32)
-    slot0_args = slot0_args.at[:, 0].set(
-        jnp.where(stroke_emit, h_sx, s00))
-    slot0_args = slot0_args.at[:, 1].set(
-        jnp.where(stroke_emit, h_sy, y_edge))
-    slot0_args = slot0_args.at[:, 2].set(jnp.where(stroke_emit, h_ex, 0))
-    slot0_args = slot0_args.at[:, 3].set(jnp.where(stroke_emit, h_ey, 0))
-    # Word 4 (unused by the line math): the emitting stroke's hw + 0.5,
-    # the fine kernel's row-cull threshold (ops/fine.py footprint
-    # restriction; the oracle encoder mirrors it, raster/ptcl.py::line).
-    slot0_args = slot0_args.at[:, 4].set(jnp.where(stroke_emit, h_hw, 0))
+        # Per-record command slots: slot0 = FillEdge | Line, slot1 = Fill.
+        slot0_valid = fill_emit_edge | stroke_emit
+        slot0_tag = jnp.where(stroke_emit, CMD_LINE, CMD_FILL_EDGE)
+        slot0_args = jnp.zeros((max_hits, ARG_WORDS), f32)
+        slot0_args = slot0_args.at[:, 0].set(
+            jnp.where(stroke_emit, h_sx, s00))
+        slot0_args = slot0_args.at[:, 1].set(
+            jnp.where(stroke_emit, h_sy, y_edge))
+        slot0_args = slot0_args.at[:, 2].set(jnp.where(stroke_emit, h_ex, 0))
+        slot0_args = slot0_args.at[:, 3].set(jnp.where(stroke_emit, h_ey, 0))
+        # Word 4 (unused by the line math): the emitting stroke's hw + 0.5,
+        # the fine kernel's row-cull threshold (ops/fine.py footprint
+        # restriction; the oracle encoder mirrors it, raster/ptcl.py::line).
+        slot0_args = slot0_args.at[:, 4].set(jnp.where(stroke_emit, h_hw, 0))
 
-    slot1_valid = fill_emit_edge | fill_emit_plain
-    slot1_tag = jnp.full((max_hits,), CMD_FILL, jnp.int32)
-    f1_sx = jnp.where(fill_emit_edge, clip_sx, h_sx)
-    f1_sy = jnp.where(fill_emit_edge, clip_sy, h_sy)
-    f1_ex = jnp.where(fill_emit_edge, clip_ex, h_ex)
-    f1_ey = jnp.where(fill_emit_edge, clip_ey, h_ey)
-    slot1_args = jnp.zeros((max_hits, ARG_WORDS), f32)
-    slot1_args = slot1_args.at[:, 0].set(f1_sx)
-    slot1_args = slot1_args.at[:, 1].set(f1_sy)
-    slot1_args = slot1_args.at[:, 2].set(f1_ex)
-    slot1_args = slot1_args.at[:, 3].set(f1_ey)
+        slot1_valid = fill_emit_edge | fill_emit_plain
+        slot1_tag = jnp.full((max_hits,), CMD_FILL, jnp.int32)
+        f1_sx = jnp.where(fill_emit_edge, clip_sx, h_sx)
+        f1_sy = jnp.where(fill_emit_edge, clip_sy, h_sy)
+        f1_ex = jnp.where(fill_emit_edge, clip_ex, h_ex)
+        f1_ey = jnp.where(fill_emit_edge, clip_ey, h_ey)
+        slot1_args = jnp.zeros((max_hits, ARG_WORDS), f32)
+        slot1_args = slot1_args.at[:, 0].set(f1_sx)
+        slot1_args = slot1_args.at[:, 1].set(f1_sy)
+        slot1_args = slot1_args.at[:, 2].set(f1_ex)
+        slot1_args = slot1_args.at[:, 3].set(f1_ey)
 
-    # Zero the args of non-emitting slots: the hit math produces NaN/Inf
-    # there (0/0 from all-zero dead expansion rows; x/0 y_edge on live
-    # degenerate segments) and those words are never interpreted, but they
-    # flow into the entry stream and the stage probes -- zeroing makes
-    # both deterministic and finite.
-    slot0_args = jnp.where(slot0_valid[:, None], slot0_args, 0.0)
-    slot1_args = jnp.where(slot1_valid[:, None], slot1_args, 0.0)
+        # Zero the args of non-emitting slots: the hit math produces NaN/Inf
+        # there (0/0 from all-zero dead expansion rows; x/0 y_edge on live
+        # degenerate segments) and those words are never interpreted, but they
+        # flow into the entry stream and the stage probes -- zeroing makes
+        # both deterministic and finite.
+        slot0_args = jnp.where(slot0_valid[:, None], slot0_args, 0.0)
+        slot1_args = jnp.where(slot1_valid[:, None], slot1_args, 0.0)
 
-    hit_n_cmds = slot0_valid.astype(jnp.int32) + slot1_valid.astype(jnp.int32)
-    stage_probe("hit_tests", hit_n_cmds, slot0_args, slot1_args)
+        hit_n_cmds = slot0_valid.astype(jnp.int32) + slot1_valid.astype(jnp.int32)
+        stage_probe("hit_tests", hit_n_cmds, slot0_args, slot1_args)
 
-    # Per-candidate emitted-command count (drives anyFill/anyStroke).
-    # Window bounds: hits are item-major, and a hit's candidate id lies in
-    # its item's candidate range [cand_excl, cand_excl + bh * bw) -- both
-    # ends monotone across hits (dead suffix pinned at the cap).
-    h_cand_end = hi[:, 5] + (hi[:, 9] - hi[:, 6] + 1) * hi[:, 7]
-    cand_emit = ksum(
-        hit_n_cmds.astype(f32)[:, None], h_cand,
-        jnp.where(hit_valid, hi[:, 5], max_candidates),
-        jnp.where(hit_valid, h_cand_end, max_candidates + 1),
-        max_candidates)[:, 0].astype(jnp.int32)
+        # Per-candidate emitted-command count (drives anyFill/anyStroke).
+        # Window bounds: hits are item-major, and a hit's candidate id lies in
+        # its item's candidate range [cand_excl, cand_excl + bh * bw) -- both
+        # ends monotone across hits (dead suffix pinned at the cap).
+        h_cand_end = hi[:, 5] + (hi[:, 9] - hi[:, 6] + 1) * hi[:, 7]
+        cand_emit = ksum(
+            hit_n_cmds.astype(f32)[:, None], h_cand,
+            jnp.where(hit_valid, hi[:, 5], max_candidates),
+            jnp.where(hit_valid, h_cand_end, max_candidates + 1),
+            max_candidates)[:, 0].astype(jnp.int32)
 
     # ---- winding deltas (backdrop) ------------------------------------
     stage_probe("cand_emit", cand_emit)
@@ -813,7 +848,9 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     # ---- pre-sort row assembly (entries output) -----------------------
     # The post-sort side then needs only TWO gathers (rows, meta) instead
     # of a dozen per-attribute gathers at sorted indices.
-    if output == "entries":
+    if output == "entries" and use_hitfuse:
+        hit_rows = fused["rows"]
+    elif output == "entries":
         # NOTE: promoting a lone slot-1 Fill into slot 0 (saving a no-op
         # switch dispatch) was tried and measured 3.5 ms SLOWER at 4K --
         # the interpreter's cheap path is the first switch branch.
@@ -831,6 +868,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
              hit_meta.astype(f32)[:, None],              # W_META
              jnp.zeros((max_hits, 1), f32)],             # W_PAD
             axis=1)
+    if output == "entries":
         cand_tag0 = jnp.where(cand_cmd_valid, cand_tag, 0)
         cand_meta = (cand_cmd_valid.astype(jnp.int32)
                      | is_opaque_solid.astype(jnp.int32) * META_OPAQUE_BIT
@@ -871,16 +909,18 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     # packed key would lose integer exactness in f32 (huge item counts x
     # tile grids; tests/test_coarse.py covers the fallback at a config
     # that trips it).
-    stride = 2 * (NI + 1)
-    packed_ok = n_tiles * stride < 2**24
     assert n_tiles < 2**24 and 2 * NI + 2 < 2**24, "f32 key range"
     hit_live = hit_valid & (hit_n_cmds > 0)
     E = max_hits + max_candidates
     DEAD = f32(jnp.inf)
     order_idx = jnp.arange(E, dtype=jnp.int32)
     if packed_ok:
-        hit_key1 = jnp.where(
-            hit_live, (h_tile * stride + h_item * 2).astype(f32), DEAD)
+        if use_hitfuse:
+            hit_key1 = fused["key"]
+        else:
+            hit_key1 = jnp.where(
+                hit_live, (h_tile * stride + h_item * 2).astype(f32),
+                DEAD)
         cand_key1 = jnp.where(
             cand_cmd_valid,
             (cand_tile * stride + cand_item * 2 + 1).astype(f32), DEAD)

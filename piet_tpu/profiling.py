@@ -120,6 +120,10 @@ def profile_render(scene, config: RenderConfig, *, fine_impl: str = "auto",
               expand_impl=(os.environ.get("PIET_EXPAND_IMPL", "xla")
                            if impl == "pallas" and not interpret
                            else "xla"),
+              hitfuse=("pallas" if (os.environ.get("PIET_HITFUSE", "1")
+                                    == "1" and impl == "pallas"
+                                    and not interpret)
+                       else "off"),
               pair=pair_mode_from_env())
 
     def prefix_fn(k):

@@ -183,6 +183,12 @@ def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
         expand_impl=(os.environ.get("PIET_EXPAND_IMPL", "xla")
                      if fine_impl == "pallas" and not interpret
                      else "xla"),
+        # Fused hit-record kernel (ops/hitfuse.py): expansion + exact
+        # tests + entry-row assembly in one Pallas pass (PIET_HITFUSE=0
+        # opts out; entries output only, real TPU only).
+        hitfuse=("pallas" if (os.environ.get("PIET_HITFUSE", "1") == "1"
+                              and fine_impl == "pallas" and not interpret)
+                 else "off"),
         # Entry pairing (ops/pairing.py): PIET_PAIR in {0, 1, hole}
         # (0 = off, 1 = merge + compact, hole = merge + in-place no-op
         # seconds).  Default "off": measured on chip at 4K tiger (round
