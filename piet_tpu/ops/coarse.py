@@ -66,6 +66,7 @@ from ..scene.scene import (FLAG_BRUSH_LINEAR, FLAG_BRUSH_RADIAL,
                            TAG_POP)
 from .expand import expand_rows, expand_rows_xla
 from .gatherm import gather_monotone
+from .candfuse import cand_records_fused
 from .hitfuse import hit_records_fused
 from .keyed import keyed_sum, keyed_sum_xla
 from .pairing import pair_entries
@@ -307,19 +308,36 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
          i2f(item_ids)[:, None],
          scene.grads[:, :7]],                            # gradient payload
         axis=1)                                          # (NI, 32)
-    ca = _db(exp_rows(cand_pack, cand_counts, max_candidates, cand_excl))
+    # Fused-kernel gating, shared by the candidate and hit stages (the
+    # packed sort key the hit kernel emits needs packed_ok).
+    stride = 2 * (NI + 1)
+    packed_ok = n_tiles * stride < 2**24
+    use_hitfuse = hitfuse != "off" and output == "entries" and packed_ok
+    if use_hitfuse:
+        # Fused candidate expansion + rect decode (ops/candfuse.py).
+        ca, ctile_f, cty_f, ctx_f = _db(*cand_records_fused(
+            cand_pack, cand_counts, cand_excl, n_cand, row0,
+            max_candidates, tiles_x=tiles_x,
+            interpret=hitfuse == "pallas_interpret"))
+        cand_ty = cty_f.astype(jnp.int32)
+        cand_tx = ctx_f.astype(jnp.int32)
+        cand_tile = ctile_f.astype(jnp.int32)
+    else:
+        ca = _db(exp_rows(cand_pack, cand_counts, max_candidates,
+                          cand_excl))
     cf = ca[:, :15]
     ci = jax.lax.bitcast_convert_type(ca[:, 15:24], jnp.int32)
     cg = ca[:, 25:32]      # gradient payload (params3 + c1 linear rgba)
     cand_idx = jnp.arange(max_candidates, dtype=jnp.int32)
     cand_valid = cand_idx < n_cand
     cand_item = jax.lax.bitcast_convert_type(ca[:, 24], jnp.int32)
-    cand_local = cand_idx - ci[:, 3]
-    cand_w = jnp.maximum(ci[:, 8], 1)
-    c_dy, c_dx = _fdivmod(cand_local, cand_w)
-    cand_ty = ci[:, 5] + c_dy
-    cand_tx = ci[:, 4] + c_dx
-    cand_tile = (cand_ty - row0) * tiles_x + cand_tx
+    if not use_hitfuse:
+        cand_local = cand_idx - ci[:, 3]
+        cand_w = jnp.maximum(ci[:, 8], 1)
+        c_dy, c_dx = _fdivmod(cand_local, cand_w)
+        cand_ty = ci[:, 5] + c_dy
+        cand_tx = ci[:, 4] + c_dx
+        cand_tile = (cand_ty - row0) * tiles_x + cand_tx
     stage_probe("cand_expand", cand_tile)
 
     # ---- segment derivation ------------------------------------------
@@ -477,9 +495,6 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                     xmx[:, 0], xmx[:, 1], s_hw], axis=1),
          jax.lax.bitcast_convert_type(seg_i32, f32)],
         axis=1)                                          # (S, 23)
-    stride = 2 * (NI + 1)
-    packed_ok = n_tiles * stride < 2**24
-    use_hitfuse = hitfuse != "off" and output == "entries" and packed_ok
     hit_idx = jnp.arange(max_hits, dtype=jnp.int32)
     hit_valid = hit_idx < n_hits
     if use_hitfuse:
