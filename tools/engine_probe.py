@@ -21,6 +21,10 @@ import os
 import subprocess
 import sys
 
+# Running as `python tools/engine_probe.py` puts tools/ (not the repo
+# root) at sys.path[0]; the package import in run_child needs the root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SETTINGS = ["xla", "pallas",
             "pallas:expand", "pallas:keyed", "pallas:gatherm"]
 LEAVES = ["stream", "first", "n_entries", "counts", "solid"]

@@ -31,7 +31,11 @@ def _mix_kernel(out_ref, st0, st1, st2, *, dtype, shape):
         # min-accumulate, add-accumulate.
         a = st0[:] * 1.25 + st1[:]
         b = jnp.maximum(jnp.minimum(a, one * 8), -a)
-        c = jnp.where(b > st2[:], b * 0.5 + st1[:], st2[:])
+        # Mosaic refuses bf16 vector compares ("Target does not support
+        # this comparison"); compare in f32 in BOTH dtypes so the op mix
+        # stays comparable (no-op upcast for the f32 run).
+        mask = b.astype(jnp.float32) > st2[:].astype(jnp.float32)
+        c = jnp.where(mask, b * 0.5 + st1[:], st2[:])
         d = jnp.minimum(st0[:], c * c + b)
         e = st2[:] + (d - b) * 0.125
         st0[:] = jnp.minimum(st0[:], d)
