@@ -135,6 +135,7 @@ def p_pair_rows(x_ref, out_ref):
 
 
 SCRATCH = {
+    "dyn2_read": [pltpu.VMEM((4, 16, 128), jnp.float32)],
     "splat11_concat": [pltpu.VMEM((128, 16), jnp.float32)],
     "splat11_repeat": [pltpu.VMEM((128, 16), jnp.float32)],
     "splat11_mul": [pltpu.VMEM((128, 16), jnp.float32)],
@@ -148,12 +149,29 @@ SCRATCH = {
 }
 
 
+def _compile_dma16():
+    f = pl.pallas_call(
+        _dma16_kernel,
+        grid=(4,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((4, 512, 16), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    jax.jit(f).lower(jax.ShapeDtypeStruct((1024, 16), jnp.float32)).compile()
+
+
 def main():
     names = sys.argv[1:] or list(PROBES)
     out = jax.ShapeDtypeStruct((8, 128), jnp.float32)
     for nm in names:
         try:
-            _compile(PROBES[nm], out, SCRATCH.get(nm, ()))
+            if nm == "dma_16lane":
+                _compile_dma16()
+            else:
+                _compile(PROBES[nm], out, SCRATCH.get(nm, ()))
             print(f"{nm}: OK", flush=True)
         except Exception as e:
             msg = str(e).split("\n")[0][:160]
@@ -259,6 +277,32 @@ def p_splat11_repeat(x_ref, out_ref, t_ref):
     a = t_ref[pl.ds(i, 1), 2:3]
     a8 = pltpu.repeat(a, 8, 0)
     out_ref[:] = x_ref[0:8, :] * a8
+
+
+
+@probe("dyn2_read")
+def p_dyn2_read(x_ref, out_ref, g_ref):
+    """[dyn-major, dyn-sublane, static-lane] (1,1) read from 3D scratch."""
+    i = pl.program_id(0)
+    g_ref[0] = x_ref[:]
+    a = g_ref[i, pl.ds(i * 2, 1), 2:3]
+    a8 = pltpu.repeat(a, 8, 0)
+    out_ref[:] = jnp.zeros((8, 128), jnp.float32) + a8
+
+
+def _dma16_kernel(hbm_ref, out_ref, t_ref, sem):
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        hbm_ref.at[pl.ds(i * 128, 512), :], t_ref.at[1], sem)
+    cp.start()
+    cp.wait()
+    a8 = pltpu.repeat(t_ref[1, pl.ds(i, 1), 3:4], 8, 0)
+    out_ref[:] = jnp.zeros((8, 128), jnp.float32) + a8
+
+
+@probe("dma_16lane")
+def p_dma_16lane(*a, **k):
+    raise RuntimeError("handled specially")
 
 
 if __name__ == "__main__":
