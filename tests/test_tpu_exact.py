@@ -152,8 +152,15 @@ def test_clip_layer_scene_exact_on_tpu():
     b.pop()
     b.pop()
     scene = b.build()
+    # Explicit record capacities: RenderConfig's DEFAULTS (hits 1<<20,
+    # candidates 1<<18) are sized for 4K scenes and make this one-jit
+    # compile pathologically slow on the TPU toolchain (the round-3
+    # on-chip runs sat >2 h in the compiler here -- tools/onchip_r3.log;
+    # production paths always fit capacities via Renderer.for_scene).
     cfg = RenderConfig(width=256, height=256, tile_height=16, tile_width=128,
-                       cmd_capacity=1024)
+                       cmd_capacity=1024, max_items=512, max_points=1 << 15,
+                       max_segments=1 << 15, max_hits=1 << 17,
+                       max_candidates=1 << 14, max_deltas=1 << 15)
     with jax.default_device(_tpu_device()):
         img = Renderer(cfg, fine_impl="pallas").render(scene)
     gold = cpu_render_scene(scene, cfg)
@@ -172,8 +179,12 @@ def test_gradient_scene_exact_on_tpu():
     from piet_tpu.scene.fixtures import make_gradient_demo
 
     scene = make_gradient_demo(256)
+    # Explicit capacities: see test_clip_layer_scene_exact_on_tpu.
     cfg = RenderConfig(width=256, height=256, tile_height=16,
-                       tile_width=128, cmd_capacity=256)
+                       tile_width=128, cmd_capacity=256, max_items=512,
+                       max_points=1 << 15, max_segments=1 << 15,
+                       max_hits=1 << 17, max_candidates=1 << 14,
+                       max_deltas=1 << 15)
     with jax.default_device(_tpu_device()):
         img = Renderer(cfg, fine_impl="pallas").render(scene)
     gold = cpu_render_scene(scene, cfg)
