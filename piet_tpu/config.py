@@ -63,12 +63,19 @@ class RenderConfig:
     max_segments: int = 1 << 16   # derived segments (points incl. fill wrap)
 
     # Capacity for expanded (segment x tile) hit records and per-(item,tile)
-    # candidate records in the coarse/binning pass.
-    max_hits: int = 1 << 20
-    max_candidates: int = 1 << 18
+    # candidate records in the coarse/binning pass.  Defaults are sized for
+    # ~1024^2 scenes of a few thousand items; coarse passes do fixed-shape
+    # work over these CAPACITIES every frame, and the Pallas sort's compile
+    # scales with max_hits (ops/sort.py::PALLAS_SORT_MAX), so oversizing
+    # costs both compile and frame time.  Undersizing fails loud
+    # (SceneCapacityError); ``Renderer.for_scene`` fits exact counts.
+    # (The old 1<<20 hits default compiled >30 min -- the round-3
+    # "exactness hang", tools/onchip_r3.log.)
+    max_hits: int = 1 << 18
+    max_candidates: int = 1 << 16
 
     # Capacity for per-row winding (backdrop) delta records.
-    max_deltas: int = 1 << 18
+    max_deltas: int = 1 << 17
 
     def __post_init__(self):
         if self.cmd_capacity % 128:

@@ -159,6 +159,18 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+#: Largest padded element count the Pallas network is allowed to take.
+#: Mosaic decomposes each substage's rolls/selects into per-vreg ops, so
+#: the kernel's op count scales ~ n * log^2(n): at 2^18 (the beziers_10k
+#: bench scale) the compile is minutes and measured fine; at 2^20 (the
+#: old RenderConfig DEFAULT max_hits) the compile ran >30 min and was the
+#: round-3 "exactness test 4 hang" (tools/onchip_r3.log; reproduced
+#: chiplessly).  Above the cap, fall back to lax.sort: ~145 ns/element on
+#: TPU -- slow but it compiles, and production paths never sort past the
+#: cap (Renderer.for_scene fits capacities to exact scene counts).
+PALLAS_SORT_MAX = 1 << 18
+
+
 def stable_sort_multi(keys, val: jax.Array, *, impl: str = "auto",
                       interpret: bool = False):
     """Stable lexicographic sort of (keys..., val) by ``keys``.
@@ -180,6 +192,8 @@ def stable_sort_multi(keys, val: jax.Array, *, impl: str = "auto",
         dd = jax.config.jax_default_device
         platform = dd.platform if dd is not None else jax.default_backend()
         impl = "pallas" if platform == "tpu" else "xla"
+    if impl != "xla" and _next_pow2(n) > PALLAS_SORT_MAX:
+        impl = "xla"  # compile-size guard; see PALLAS_SORT_MAX
     if impl == "xla":
         out = jax.lax.sort(keys + (val,), dimension=0, num_keys=len(keys),
                            is_stable=True)
