@@ -564,40 +564,43 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                     fill_full()
 
         def resolve_block(tag0, s0arg):
-            is_res = ((tag0 == CMD_CIRCLE) | (tag0 == CMD_STROKE)
-                      | (tag0 == CMD_DRAW_FILL) | (tag0 == CMD_SOLID))
-
-            @pl.when(is_res)
+            # Each resolve class under its own predicate, writing ONLY
+            # the planes it changes, in place.  The previous structure (a
+            # lax.switch whose branches returned ALL FIVE state planes,
+            # then unconditional full-state writeback) made Mosaic
+            # materialize copy-through moves of the untouched planes per
+            # resolve entry; untaken pl.when branches are ~1 ns each
+            # (tools/arg_delivery_bench.py disp16).  Arithmetic is
+            # cmd_math's evaluators unchanged: bitwise identical.
+            # make_commands order: circle, line, fill, stroke, fill_edge,
+            # draw_fill, solid.
+            @pl.when(tag0 == CMD_CIRCLE)
             def _():
-                r, g, b = r_s[:], g_s[:], b_s[:]
-                area = area_s[:]
-                idx = ((tag0 == CMD_STROKE) * 1
-                       + (tag0 == CMD_DRAW_FILL) * 2
-                       + (tag0 == CMD_SOLID) * 3)
-
-                def stroke_branch():
-                    # Un-square the accumulated field (exact; see above).
-                    df = jnp.sqrt(df_s[:])
-                    r2, g2, b2, _, area2 = cmds[3](s0arg, r, g, b, df,
-                                                   area)
-                    return (r2, g2, b2,
-                            jnp.full(shp, DF2_INIT, jnp.float32), area2)
-
-                def passthrough(c):
-                    def f():
-                        r2, g2, b2, _, area2 = c(s0arg, r, g, b, df_s[:],
-                                                 area)
-                        return r2, g2, b2, df_s[:], area2
-                    return f
-
-                # make_commands order: circle, line, fill, stroke,
-                # fill_edge, draw_fill, solid.
-                r2, g2, b2, df2, area2 = jax.lax.switch(
-                    idx, [passthrough(cmds[0]), stroke_branch,
-                          passthrough(cmds[5]), passthrough(cmds[6])])
+                r2, g2, b2, _, _ = cmds[0](s0arg, r_s[:], g_s[:], b_s[:],
+                                           df_s[:], area_s[:])
                 r_s[:], g_s[:], b_s[:] = r2, g2, b2
-                df_s[:] = df2
+
+            @pl.when(tag0 == CMD_STROKE)
+            def _():
+                # Un-square the accumulated field (exact; see above).
+                df = jnp.sqrt(df_s[:])
+                r2, g2, b2, _, _ = cmds[3](s0arg, r_s[:], g_s[:], b_s[:],
+                                           df, area_s[:])
+                r_s[:], g_s[:], b_s[:] = r2, g2, b2
+                df_s[:] = jnp.full(shp, DF2_INIT, jnp.float32)
+
+            @pl.when(tag0 == CMD_DRAW_FILL)
+            def _():
+                r2, g2, b2, _, area2 = cmds[5](s0arg, r_s[:], g_s[:],
+                                               b_s[:], df_s[:], area_s[:])
+                r_s[:], g_s[:], b_s[:] = r2, g2, b2
                 area_s[:] = area2
+
+            @pl.when(tag0 == CMD_SOLID)
+            def _():
+                r2, g2, b2, _, _ = cmds[6](s0arg, r_s[:], g_s[:], b_s[:],
+                                           df_s[:], area_s[:])
+                r_s[:], g_s[:], b_s[:] = r2, g2, b2
 
         def group_block(tag0, s0arg):
             # -- clip / layer group commands (extension; rare) -----------
