@@ -233,7 +233,7 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                          out_ref, cmds_s, df_s, area_s, r_s, g_s, b_s,
                          cov_s, sv_r, sv_g, sv_b, depth_s, sems,
                          *, tile_h: int, tile_w: int, tiles_x: int,
-                         direct: bool, paired: bool, rowwin: bool,
+                         direct: bool, paired: bool,
                          runs: bool, interpret: bool):
     if interpret:
         bar = jax.lax.optimization_barrier  # best-effort (see cmd_math.py)
@@ -316,15 +316,19 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
     # ---- state in VMEM scratch -----------------------------------------
     # ALL pixel state (r/g/b/df/area) lives in VMEM scratch refs; the
     # entry loop carries nothing, and runs 4x unrolled (plus a tail loop).
-    # Per-entry cost decomposition (measured, see ROADMAP): the SCALAR
-    # unit is the bottleneck -- ~12 SMEM operand reads + index div/rem
-    # cost ~60 ns/entry, on par with the taken class's vector math -- so
-    # the dispatch uses predicated blocks (untaken classes' operand reads
-    # are SKIPPED) and shift/mask index decomposition.  Two alternatives
-    # were built and measured SLOWER (ROADMAP dead-ends): branchless
-    # select-accumulation, and tree-combined quads of 4 independent entry
-    # chains (the microbench's 3x interleaving win does not transfer; the
-    # scalar reads it must add dominate).
+    # Fill/line updates touch the FULL tile: the on-chip delivery bench
+    # (tools/arg_delivery_bench.py) measured the full-tile branch-free
+    # update at ~37 ns/entry at ANY tile height 8..32 (extra vregs hide
+    # under scalar/vector overlap), while the former row-windowed dynamic
+    # slice path cost ~54 ns/entry in window LOGIC alone -- and at the
+    # production 32-row tile only 20-38% of BASELINE entries even fit an
+    # 8-row window (tools/group_stats.py), so most entries paid the
+    # window math AND the full-tile update.  Deleting the window bought
+    # 8.03 -> 7.42 ms on the 4K tiger and 40.2 -> 34.5 ms on beziers_10k
+    # (tools/time_config.py A/B, round 3).  The dispatch uses predicated
+    # blocks (untaken classes' operand reads are SKIPPED -- scalar reads
+    # are near-free but Mosaic still schedules them) and shift/mask index
+    # decomposition.
     #
     # df accumulates the SQUARED line field: min commutes bit-exactly with
     # the correctly rounded monotone sqrt, deferred to the stroke resolve.
@@ -334,34 +338,6 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
     # cmd_math.py.  Entry interpretation stays strictly sequential.)
 
     UNROLL = 4
-
-    # ---- row-windowed fill/line updates ---------------------------------
-    # A fill segment's area delta is EXACTLY zero outside the pixel rows
-    # overlapping its y-span (mask = sat(sy-Y) != sat(ey-Y)), and a line
-    # segment's stroke alpha saturates to exactly 0.0 beyond its
-    # hw + 0.5 threshold (wire word 4) -- so both updates can touch only a
-    # WH-row dynamic slice of the state plane instead of all tile_h rows.
-    # 70-92% of BASELINE segments fit an 8-aligned 8-row window (measured),
-    # cutting the dominant per-entry vector work by tile_h/WH.  Exactness:
-    # the window is widened by >= 1 full row on each side (integer trunc
-    # slack), so excluded rows have sat() pinned at an exact 0/1 (fills)
-    # or distance > thr + 1 (lines) -- images are bitwise unchanged; only
-    # the never-consumed df values at excluded rows differ.
-    WH = 8
-    use_win = rowwin and tile_h > WH and tile_h % WH == 0
-    if use_win:
-        XW = X[:WH]
-        IOTW = jax.lax.broadcasted_iota(
-            jnp.int32, (WH, tile_w), 0).astype(jnp.float32)
-
-    def row_window(lo_y, hi_y):
-        """8-aligned WH-row window [rs, rs+WH) covering every pixel row
-        with lo_y - 1 < Y < hi_y + 1 (f32->i32 truncation is widened one
-        row down / two up, conservative for any sign)."""
-        li = (lo_y - y0).astype(jnp.int32) - 1
-        hi = (hi_y - y0).astype(jnp.int32) + 2
-        rs = jnp.clip(li & ~(WH - 1), 0, tile_h - WH)
-        return rs, hi <= rs + WH
 
     def chunk_body(ci, _):
         slot = jnp.where(ci == 0, pslot, jax.lax.rem(ci - 1, 2))
@@ -375,50 +351,16 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
             chunk_dma(slot, ci).wait()
 
         # ---- shared unpaired fill/line evaluators (run dispatch) --------
-        # One plain fill / one line, row-windowed when the window fits --
-        # exactly the unpaired math of accum_entry below, shared by the
-        # run bodies and the edge-entry slot-1 fill.
+        # One plain fill / one line over the full tile -- exactly the
+        # unpaired math of accum_entry below, shared by the run bodies
+        # and the edge-entry slot-1 fill.
         def fill_one(s1arg):
-            if use_win:
-                sy1, ey1 = s1arg(1), s1arg(3)
-                rs, fits = row_window(jnp.minimum(sy1, ey1),
-                                      jnp.maximum(sy1, ey1))
-
-                @pl.when(fits)
-                def _():
-                    YW = IOTW + (y0 + rs.astype(jnp.float32))
-                    m, d = fill_delta(s1arg, XW, YW, bar)
-                    aw = area_s[pl.ds(rs, WH), :]
-                    area_s[pl.ds(rs, WH), :] = jnp.where(m, aw + d, aw)
-
-                @pl.when(jnp.logical_not(fits))
-                def _():
-                    m, d = fill_delta(s1arg, X, Y, bar)
-                    area_s[:] = jnp.where(m, area_s[:] + d, area_s[:])
-            else:
-                m, d = fill_delta(s1arg, X, Y, bar)
-                area_s[:] = jnp.where(m, area_s[:] + d, area_s[:])
+            m, d = fill_delta(s1arg, X, Y, bar)
+            area_s[:] = jnp.where(m, area_s[:] + d, area_s[:])
 
         def line_one(s0arg):
-            if use_win:
-                sy, ey, thr = s0arg(1), s0arg(3), s0arg(4)
-                rs, fits = row_window(jnp.minimum(sy, ey) - thr,
-                                      jnp.maximum(sy, ey) + thr)
-
-                @pl.when(fits)
-                def _():
-                    YW = IOTW + (y0 + rs.astype(jnp.float32))
-                    df_s[pl.ds(rs, WH), :] = jnp.minimum(
-                        df_s[pl.ds(rs, WH), :],
-                        line_field_sq(s0arg, XW, YW, bar))
-
-                @pl.when(jnp.logical_not(fits))
-                def _():
-                    df_s[:] = jnp.minimum(df_s[:],
-                                          line_field_sq(s0arg, X, Y, bar))
-            else:
-                df_s[:] = jnp.minimum(df_s[:],
-                                      line_field_sq(s0arg, X, Y, bar))
+            df_s[:] = jnp.minimum(df_s[:],
+                                  line_field_sq(s0arg, X, Y, bar))
 
         def accum_entry(j):
             """One entry: predicated class blocks (fewest scalar reads --
@@ -472,96 +414,29 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
         def line_block(tag0, slot, blk, lane, s0arg, s1arg):
             @pl.when(tag0 == CMD_LINE)
             def _():
+                df_s[:] = jnp.minimum(df_s[:],
+                                      line_field_sq(s0arg, X, Y, bar))
                 if paired:
-                    is_l2 = (cmds_s[slot, blk, W_S1_TAG, lane]
+                    @pl.when(cmds_s[slot, blk, W_S1_TAG, lane]
                              == float(CMD_LINE))
-
-                def line_full():
-                    df_s[:] = jnp.minimum(df_s[:],
-                                          line_field_sq(s0arg, X, Y, bar))
-                    if paired:
-                        @pl.when(is_l2)
-                        def _():
-                            df_s[:] = jnp.minimum(
-                                df_s[:], line_field_sq(s1arg, X, Y, bar))
-
-                if use_win:
-                    sy, ey, thr = s0arg(1), s0arg(3), s0arg(4)
-                    lo = jnp.minimum(sy, ey)
-                    hi = jnp.maximum(sy, ey)
-                    if paired:
-                        sy1 = jnp.where(is_l2, s1arg(1), sy)
-                        ey1 = jnp.where(is_l2, s1arg(3), ey)
-                        lo = jnp.minimum(lo, jnp.minimum(sy1, ey1))
-                        hi = jnp.maximum(hi, jnp.maximum(sy1, ey1))
-                    rs, fits = row_window(lo - thr, hi + thr)
-
-                    @pl.when(fits)
                     def _():
-                        YW = IOTW + (y0 + rs.astype(jnp.float32))
-                        df_s[pl.ds(rs, WH), :] = jnp.minimum(
-                            df_s[pl.ds(rs, WH), :],
-                            line_field_sq(s0arg, XW, YW, bar))
-                        if paired:
-                            @pl.when(is_l2)
-                            def _():
-                                df_s[pl.ds(rs, WH), :] = jnp.minimum(
-                                    df_s[pl.ds(rs, WH), :],
-                                    line_field_sq(s1arg, XW, YW, bar))
-
-                    @pl.when(jnp.logical_not(fits))
-                    def _():
-                        line_full()
-                else:
-                    line_full()
+                        df_s[:] = jnp.minimum(
+                            df_s[:], line_field_sq(s1arg, X, Y, bar))
 
         def fill_block(tag0, slot, blk, lane, s0arg, s1arg):
             @pl.when(cmds_s[slot, blk, W_S1_TAG, lane] == float(CMD_FILL))
             def _():
                 if paired:
-                    is_f2 = tag0 == CMD_FILL
-
-                def fill_full():
-                    if paired:
-                        @pl.when(is_f2)
-                        def _():
-                            mask0, delta0 = fill_delta(s0arg, X, Y, bar)
-                            area_s[:] = jnp.where(mask0, area_s[:] + delta0,
-                                                  area_s[:])
-
-                    mask, delta = fill_delta(s1arg, X, Y, bar)
-                    area_s[:] = jnp.where(mask, area_s[:] + delta, area_s[:])
-
-                if use_win:
-                    sy1, ey1 = s1arg(1), s1arg(3)
-                    lo = jnp.minimum(sy1, ey1)
-                    hi = jnp.maximum(sy1, ey1)
-                    if paired:
-                        sy0 = jnp.where(is_f2, s0arg(1), sy1)
-                        ey0 = jnp.where(is_f2, s0arg(3), ey1)
-                        lo = jnp.minimum(lo, jnp.minimum(sy0, ey0))
-                        hi = jnp.maximum(hi, jnp.maximum(sy0, ey0))
-                    rs, fits = row_window(lo, hi)
-
-                    @pl.when(fits)
+                    # Slot-0 fill (F2 pair) applies BEFORE slot 1,
+                    # preserving the oracle's accumulation order.
+                    @pl.when(tag0 == CMD_FILL)
                     def _():
-                        YW = IOTW + (y0 + rs.astype(jnp.float32))
-                        if paired:
-                            @pl.when(is_f2)
-                            def _():
-                                m0, d0 = fill_delta(s0arg, XW, YW, bar)
-                                aw = area_s[pl.ds(rs, WH), :]
-                                area_s[pl.ds(rs, WH), :] = jnp.where(
-                                    m0, aw + d0, aw)
-                        m, d = fill_delta(s1arg, XW, YW, bar)
-                        aw = area_s[pl.ds(rs, WH), :]
-                        area_s[pl.ds(rs, WH), :] = jnp.where(m, aw + d, aw)
+                        mask0, delta0 = fill_delta(s0arg, X, Y, bar)
+                        area_s[:] = jnp.where(mask0, area_s[:] + delta0,
+                                              area_s[:])
 
-                    @pl.when(jnp.logical_not(fits))
-                    def _():
-                        fill_full()
-                else:
-                    fill_full()
+                mask, delta = fill_delta(s1arg, X, Y, bar)
+                area_s[:] = jnp.where(mask, area_s[:] + delta, area_s[:])
 
         def resolve_block(tag0, s0arg):
             # Each resolve class under its own predicate, writing ONLY
@@ -765,12 +640,12 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "tiles_x",
-                                             "paired", "rowwin", "runs",
+                                             "paired", "runs",
                                              "interpret"))
 def fine_rasterize_entries(first: jax.Array, n_entries: jax.Array,
                            solid: jax.Array, stream: jax.Array, row0=0, *,
                            tile_h: int, tile_w: int, tiles_x: int,
-                           paired: bool = True, rowwin: bool = True,
+                           paired: bool = True,
                            runs: bool = False,
                            interpret: bool = False) -> jax.Array:
     """Rasterize all tiles from an entry stream (CoarseEntries).
@@ -785,8 +660,6 @@ def fine_rasterize_entries(first: jax.Array, n_entries: jax.Array,
       row0: first tile row of this shard's slab (traced OK).
       paired: whether the stream may carry paired (F2/L2) entries
         (ops/pairing.py); False skips their nested dispatch entirely.
-      rowwin: enable the row-windowed fill/line fast path (bitwise
-        image-identical either way; a pure perf knob).
       runs: enable run dispatch -- the stream's W_RUN word must carry
         the coarse pass's run-length annotation (pair mode "off" only);
         bitwise image-identical to the per-entry path, a pure perf knob.
@@ -803,7 +676,7 @@ def fine_rasterize_entries(first: jax.Array, n_entries: jax.Array,
         raise ValueError("run dispatch requires an unpaired stream")
     kernel = functools.partial(
         _fine_entries_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
-        direct=direct, paired=paired, rowwin=rowwin, runs=runs,
+        direct=direct, paired=paired, runs=runs,
         interpret=interpret)
     if direct:
         out_specs = pl.BlockSpec(

@@ -165,7 +165,6 @@ def profile_render(scene, config: RenderConfig, *, fine_impl: str = "auto",
                 f, n, s, st, 0, tile_h=config.tile_height,
                 tile_w=config.tile_width, tiles_x=config.tiles_x,
                 paired=kw["pair"] != "off",
-                rowwin=os.environ.get("PIET_ROWWIN", "1") == "1",
                 interpret=interpret)
 
         results["fine"] = round(_time_pipelined(

@@ -217,7 +217,6 @@ def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
             _solid_to_present_u32(coarse.solid), coarse.stream, row0,
             tile_h=config.tile_height, tile_w=config.tile_width,
             tiles_x=tiles_x, paired=base_kw["pair"] != "off",
-            rowwin=os.environ.get("PIET_ROWWIN", "1") == "1",
             # Run dispatch (ops/fine.py): hoists class dispatch out of
             # same-class entry streaks; needs the coarse W_RUN annotation,
             # which only unpaired streams carry.

@@ -16,8 +16,8 @@ over n in {small, medium, large} entries/tile, per class mix:
   edges   -- CmdFillEdge entries (slot-0) + one CmdDrawFill
   resolve -- alternating CmdStroke/CmdSolid entries (resolve-heavy)
 
-Knobs: PIET_ROWWIN / runs flag forwarded, so the window and run-driver
-costs are measured in the kernel they actually run in.
+Knobs: PIET_RUNS forwarded, so the run-driver cost is measured in the
+kernel it actually runs in.
 
 Usage: python tools/fine_entry_bench.py [mix ...]
 """
@@ -138,7 +138,7 @@ def build_stream(mix: str, n: int, rng):
     return first, n_entries, solid, stream
 
 
-def time_mix(mix: str, n: int, runs: bool, rowwin: bool) -> float:
+def time_mix(mix: str, n: int, runs: bool) -> float:
     rng = np.random.RandomState(7)
     first, n_entries, solid, stream = build_stream(mix, n, rng)
     dev = jax.devices()[0]
@@ -148,7 +148,7 @@ def time_mix(mix: str, n: int, runs: bool, rowwin: bool) -> float:
     def f():
         return fine_rasterize_entries(
             *args, tile_h=TILE_H, tile_w=TILE_W, tiles_x=TILES_X,
-            paired=False, rowwin=rowwin, runs=runs)
+            paired=False, runs=runs)
 
     img = f()
     np.asarray(img[0, 0])
@@ -168,13 +168,11 @@ def time_mix(mix: str, n: int, runs: bool, rowwin: bool) -> float:
 def main():
     mixes = sys.argv[1:] or ["lines", "fills", "edges", "resolve"]
     runs = os.environ.get("PIET_RUNS", "1") == "1"
-    rowwin = os.environ.get("PIET_ROWWIN", "1") == "1"
     T = TILES_Y * TILES_X
-    print(f"# runs={runs} rowwin={rowwin} tiles={T} tile={TILE_W}x{TILE_H}",
-          flush=True)
+    print(f"# runs={runs} tiles={T} tile={TILE_W}x{TILE_H}", flush=True)
     NS = (2, 34, 130)
     for mix in mixes:
-        ms = [time_mix(mix, n, runs, rowwin) for n in NS]
+        ms = [time_mix(mix, n, runs) for n in NS]
         # linear fit ms(n) = T * (intercept + slope * n)
         A = np.vstack([np.ones(len(NS)), np.array(NS)]).T
         coef, *_ = np.linalg.lstsq(A, np.array(ms) * 1e6 / T, rcond=None)
