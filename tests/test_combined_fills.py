@@ -152,10 +152,16 @@ def test_bail_interaction():
     assert (img2[40, 128][:3] == [255, 255, 255]).all()   # ring white
 
 
-def test_wire_codec_refuses_combined():
-    from piet_tpu.scene.wire import encode_scene
-    with pytest.raises(ValueError, match="combined"):
-        encode_scene(_donut_evenodd())
+def test_wire_codec_roundtrips_combined():
+    # Round 3 gave extension items wire-format layouts (layout/modules.py);
+    # combined multi-subpath fills now round-trip (full coverage in
+    # tests/test_scene.py::test_group_and_gradient_items_roundtrip).
+    from piet_tpu.scene.wire import decode_scene, encode_scene
+    scene = _donut_evenodd()
+    back = decode_scene(encode_scene(scene))
+    np.testing.assert_array_equal(scene.tags, back.tags)
+    np.testing.assert_array_equal(scene.points, back.points)
+    np.testing.assert_array_equal(scene.flags, back.flags)
 
 
 def test_single_subpath_combined_is_plain_fill():

@@ -55,13 +55,18 @@ def test_builder_rejects_unsupported_combos():
         b.fill([(0, 0), (10, 0), (5, 10)], g)
 
 
-def test_wire_codec_refuses_gradients():
-    from piet_tpu.scene.wire import encode_scene
+def test_wire_codec_roundtrips_gradients():
+    # Round 3 gave extension items wire-format layouts; gradient fills
+    # now round-trip (full coverage in tests/test_scene.py).
+    import numpy as np
+    from piet_tpu.scene.wire import decode_scene, encode_scene
     b = SceneBuilder()
     b.fill([(0, 0), (10, 0), (5, 10)],
            LinearGradient((0, 0), (0, 10), 0xFF0000FF, 0x00FF00FF))
-    with pytest.raises(ValueError, match="gradient"):
-        encode_scene(b.build())
+    scene = b.build()
+    back = decode_scene(encode_scene(scene))
+    np.testing.assert_array_equal(scene.tags, back.tags)
+    np.testing.assert_array_equal(scene.grads, back.grads)
 
 
 def test_oracle_gradient_math_closed_form():

@@ -62,7 +62,7 @@ def test_profile_render_smoke():
     results = profile_render(scene, cfg, fine_impl="xla", reps=2)
     assert "coarse_total" in results and "end_to_end" in results
     for name in STAGE_ORDER:
-        if name in ("rows", "sorted_gather"):
+        if name in ("rows", "sorted_gather", "runs"):
             continue  # entries-only stages, xla path skips them
         assert name in results, name
     table = format_profile(results)
