@@ -231,7 +231,7 @@ SC_ENTRIES = SC_BLOCKS * 128
 
 def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                          out_ref, cmds_s, df_s, area_s, r_s, g_s, b_s,
-                         cov_s, sv_r, sv_g, sv_b, depth_s, sems,
+                         cov_s, sv_r, sv_g, sv_b, depth_s, sems, resid_s,
                          *, tile_h: int, tile_w: int, tiles_x: int,
                          direct: bool, paired: bool,
                          runs: bool, interpret: bool):
@@ -259,51 +259,65 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
     Y = y0 + jax.lax.broadcasted_iota(
         jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
 
-    base_blk = fe // 128
-    skip = fe % 128
+    # ---- superchunk residency (direct-mapped stream cache) --------------
+    # The stream is sorted by tile, so consecutive tiles' entries live in
+    # the SAME absolute 512-entry superchunk (~23 tiles/chunk at the 4K
+    # tiger's 22.5 entries/tile).  Superchunks are ABSOLUTE (aligned at
+    # c * SC_ENTRIES) and cached direct-mapped in the 4 scratch slots
+    # (slot = c & 3): a resident chunk is reused across tiles with zero
+    # DMA, removing both the ~23x redundant stream traffic and the
+    # per-tile DMA wait that dominated the per-tile fixed cost
+    # (tools/fine_entry_bench.py: 1.2-3.4 us/tile intercept).  Scratch
+    # persists across the sequential grid; resid_s[0:4] holds each slot's
+    # resident chunk id, resid_s[4:8] an in-flight (started, un-awaited)
+    # chunk id, both -1 when empty.  Every started DMA is drained: an
+    # inflight mark is only ever set for a chunk some later ensure() on
+    # that exact slot will wait for (in-tile prefetches by this tile's
+    # next chunk iteration; cross-tile prefetches by the next live tile's
+    # first ensure, issued under the same n_ref[t+1] > 0 predicate).
+    c0 = fe // SC_ENTRIES
+    skip = fe - c0 * SC_ENTRIES
     total = skip + n
     n_chunks = jnp.maximum(pl.cdiv(total, SC_ENTRIES), 1)
+    n_tiles_total = pl.num_programs(0)
 
-    def chunk_dma(slot, ci):
+    @pl.when(t == 0)
+    def _():
+        for s in range(4):
+            resid_s[s] = -1
+            resid_s[4 + s] = -1
+
+    def chunk_dma(c, slot):
         # stream_hbm carries SC_BLOCKS zero blocks of tail padding, so the
         # last superchunk slice never runs off the end.
         return pltpu.make_async_copy(
-            stream_hbm.at[pl.ds(base_blk + ci * SC_BLOCKS, SC_BLOCKS)],
+            stream_hbm.at[pl.ds(c * SC_BLOCKS, SC_BLOCKS)],
             cmds_s.at[slot], sems.at[slot])
 
-    # Cross-tile prefetch: scratch persists across the sequential grid, so
-    # each tile fetches the NEXT tile's first superchunk as soon as its own
-    # is in hand, hiding the HBM latency that otherwise serializes at every
-    # tile.  Slots 0/1 double-buffer in-tile superchunks beyond the first;
-    # slots 2/3 alternate by tile parity for the prefetched one.
-    pslot = 2 + jax.lax.rem(t, 2)
-    nslot = 2 + jax.lax.rem(t + 1, 2)
-    n_tiles_total = pl.num_programs(0)
+    def ensure(c):
+        """Make chunk c resident in its slot (drain-then-fetch)."""
+        slot = c & 3
 
-    # Empty tiles (n == 0) skip ALL DMA machinery and write the white
-    # background constant -- bailed/background tiles are a large fraction
-    # of real scenes and the per-tile DMA wait + sRGB encode otherwise
-    # costs ~1 us each.  Semaphore pairing stays consistent because the
-    # prefetch for tile t+1 is issued (by tile t) and awaited (by tile
-    # t+1) under the SAME predicate: n_ref[t+1] > 0.
-    @pl.when((t == 0) & (n > 0))
-    def _():
-        chunk_dma(pslot, 0).start()
+        @pl.when(resid_s[4 + slot] >= 0)
+        def _():
+            chunk_dma(resid_s[4 + slot], slot).wait()
+            resid_s[slot] = resid_s[4 + slot]
+            resid_s[4 + slot] = -1
 
-    @pl.when(n > 0)
-    def _():
-        chunk_dma(pslot, 0).wait()
+        @pl.when(resid_s[slot] != c)
+        def _():
+            chunk_dma(c, slot).start()
+            chunk_dma(c, slot).wait()
+            resid_s[slot] = c
 
-    @pl.when((t + 1 < n_tiles_total) & (n_ref[t + 1] > 0))
-    def _():
-        fe_next = first_ref[t + 1]
-        pltpu.make_async_copy(
-            stream_hbm.at[pl.ds(fe_next // 128, SC_BLOCKS)],
-            cmds_s.at[nslot], sems.at[nslot]).start()
+    def prefetch(c):
+        """Start fetching chunk c if neither resident nor in flight."""
+        slot = c & 3
 
-    @pl.when(n_chunks > 1)
-    def _():
-        chunk_dma(0, 1).start()
+        @pl.when((resid_s[slot] != c) & (resid_s[4 + slot] < 0))
+        def _():
+            chunk_dma(c, slot).start()
+            resid_s[4 + slot] = c
 
     # Draw resolves multiply the clip-STACK coverage plane (group
     # extension); unclipped tiles read the constant-1.0 plane 0 (an exact
@@ -340,15 +354,20 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
     UNROLL = 4
 
     def chunk_body(ci, _):
-        slot = jnp.where(ci == 0, pslot, jax.lax.rem(ci - 1, 2))
+        # Chunk ids are consumed in NONDECREASING order across the whole
+        # grid (first_ref is sorted by tile; in-tile chunks ascend) --
+        # the direct-mapped marking relies on it: once a prefetch starts
+        # overwriting a slot, the chunk it evicts can never be wanted
+        # again, so the stale resid_s entry is harmless until ensure()
+        # retargets it.
+        c = c0 + ci
 
-        @pl.when((ci >= 1) & (ci + 1 < n_chunks))
+        @pl.when(ci + 1 < n_chunks)
         def _():
-            chunk_dma(jax.lax.rem(ci, 2), ci + 1).start()
+            prefetch(c + 1)
 
-        @pl.when(ci >= 1)
-        def _():
-            chunk_dma(slot, ci).wait()
+        ensure(c)
+        slot = c & 3
 
         # ---- shared unpaired fill/line evaluators (run dispatch) --------
         # One plain fill / one line over the full tile -- exactly the
@@ -636,6 +655,15 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
         depth_s[0] = 0
         depth_s[1] = 0
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        # Cross-tile prefetch: start fetching the next live tile's first
+        # chunk (a no-op when it is already resident -- the common case)
+        # so a chunk-boundary miss overlaps this tile's pack/write and
+        # the next tile's state init.  Drained by that tile's ensure(),
+        # issued under the same n_ref[t + 1] > 0 predicate.
+        @pl.when((t + 1 < n_tiles_total) & (n_ref[t + 1] > 0))
+        def _():
+            prefetch(first_ref[t + 1] // SC_ENTRIES)
+
         write(pack_rgba8(r_s[:], g_s[:], b_s[:], bar))
 
 
@@ -711,6 +739,9 @@ def fine_rasterize_entries(first: jax.Array, n_entries: jax.Array,
             pltpu.VMEM((MAX_GROUP_DEPTH, tile_h, tile_w), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),                 # depths
             pltpu.SemaphoreType.DMA((4,)),
+            # Superchunk residency: [0:4] resident chunk id per slot,
+            # [4:8] inflight chunk id per slot (-1 = empty).
+            pltpu.SMEM((8,), jnp.int32),
         ],
     )
     # SC_BLOCKS zero blocks of tail padding keep the last superchunk slice
