@@ -165,6 +165,11 @@ def profile_render(scene, config: RenderConfig, *, fine_impl: str = "auto",
                 f, n, s, st, 0, tile_h=config.tile_height,
                 tile_w=config.tile_width, tiles_x=config.tiles_x,
                 paired=kw["pair"] != "off",
+                # Mirror the renderer's run-dispatch gating exactly --
+                # without this the probe timed the runs-OFF kernel while
+                # production ran runs-on (round-3 fidelity fix).
+                runs=(kw["pair"] == "off"
+                      and os.environ.get("PIET_RUNS", "1") == "1"),
                 interpret=interpret)
 
         results["fine"] = round(_time_pipelined(
