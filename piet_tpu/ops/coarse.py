@@ -1047,25 +1047,33 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     # (vectorized log-step scans) sampled at each tile's last entry.
     # The dense path keeps the one-shot f32 segment_max formulation (its
     # scatter needs per-entry positions anyway).
-    cpos_excl, _ = _exclusive_cumsum(e_ncmds)
+    cpos_excl, cpos_incl = _exclusive_cumsum(e_ncmds)
     eidx = jnp.arange(E, dtype=jnp.int32)
     assert E < 2**24, "f32 entry-index range"
     seg_tile = jnp.minimum(e_tile, n_tiles)
     if output == "entries":
-        hist = ksum(
-            jnp.stack([live.astype(f32), e_ncmds.astype(f32)], axis=1),
-            seg_tile, seg_tile, seg_tile + 1, n_tiles)
-        n_ent = hist[:, 0].astype(jnp.int32)
-        tile_cmd_total_h = hist[:, 1].astype(jnp.int32)
-        first_t = jnp.cumsum(n_ent) - n_ent
+        # Per-tile entry ranges by BINARY SEARCH on the sorted tile ids
+        # -- the stream is tile-sorted with dead entries decoding to
+        # e_tile == n_tiles at the end (pairing preserves both,
+        # ops/pairing.py), so boundary positions give exact live counts
+        # and command totals with ~log2(E) small gathers instead of the
+        # keyed-histogram SCATTER that dominated this stage (XLA scatter
+        # ~15 cycles/element over E entries).
+        bnd = jnp.searchsorted(seg_tile, jnp.arange(n_tiles + 1,
+                                                    dtype=jnp.int32),
+                               side="left").astype(jnp.int32)
+        first_t = bnd[:-1]
+        n_ent = bnd[1:] - first_t
         has_entries = n_ent > 0
         first_raw = jnp.where(has_entries, first_t, E + 1)
         last_raw = jnp.where(has_entries, first_t + n_ent - 1, -1)
         first_c = jnp.clip(first_raw, 0, E - 1)
         last_c = jnp.clip(last_raw, 0, E - 1)
-        tile_cmd_base = jnp.where(
-            has_entries, jnp.cumsum(tile_cmd_total_h) - tile_cmd_total_h, 0)
-        tile_cmd_total = jnp.where(has_entries, tile_cmd_total_h, 0)
+        cpos_ext = jnp.concatenate([cpos_excl, cpos_incl[-1:]])
+        cmd_b = cpos_ext[bnd[:-1]]
+        tile_cmd_base = jnp.where(has_entries, cmd_b, 0)
+        tile_cmd_total = jnp.where(has_entries,
+                                   cpos_ext[bnd[1:]] - cmd_b, 0)
         gm_opq = jax.lax.cummax(jnp.where(e_is_opaque, eidx, -1))
         gm_clr = jax.lax.cummax(jnp.where(e_is_clear, eidx, -2))
         opq_t = jnp.where(has_entries, gm_opq[last_c], -1)
@@ -1075,7 +1083,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         best_entry = jnp.maximum(opq_e, 0)
         last_opaque = jnp.where(opq_e >= 0,
                                 cpos_excl[best_entry] - tile_cmd_base, -1)
-        stage_probe("tile_reduce", hist, last_opaque)
+        stage_probe("tile_reduce", n_ent, last_opaque)
     else:
         # First/last/last-opaque/last-clear as index maxima of per-entry
         # values (first via the negated index); runs in f32 (entry
