@@ -74,6 +74,69 @@ def _bench_config(name, scene, width, height):
     return ms, cfg, stats
 
 
+def _roofline_split(scene, cfg, stats, total_ms):
+    """Measured coarse/fine stage split + model floors for the headline.
+
+    Times the coarse pass alone and the fine kernel alone (pipelined,
+    same methodology as the frame timing) and feeds the frame's record
+    counts to the roofline model (piet_tpu/roofline.py)."""
+    import jax
+
+    from piet_tpu.ops.coarse import coarse_rasterize
+    from piet_tpu.ops.fine import fine_rasterize_entries
+    from piet_tpu.renderer.renderer import (_solid_to_present_u32,
+                                            hitfuse_choice, prepare_scene)
+    from piet_tpu.ops.pairing import pair_mode_from_env
+    from piet_tpu.roofline import frame_roofline
+
+    dev = prepare_scene(scene, cfg)
+    kw = dict(tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+              tile_w=cfg.tile_width, tile_h=cfg.tile_height,
+              cmd_capacity=cfg.cmd_capacity, max_segments=cfg.max_segments,
+              max_hits=cfg.max_hits, max_candidates=cfg.max_candidates,
+              max_deltas=cfg.max_deltas, output="entries",
+              sort_impl="pallas",
+              expand_impl=os.environ.get("PIET_EXPAND_IMPL", "xla"),
+              hitfuse=hitfuse_choice(cfg, "pallas", False),
+              pair=pair_mode_from_env())
+
+    @jax.jit
+    def coarse_fn(d):
+        return coarse_rasterize(d, **kw)[:-1]
+
+    def _time(fn, args):
+        out = fn(*args)
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])  # warm
+        samples = []
+        for _ in range(SAMPLES):
+            t0 = time.perf_counter()
+            for _ in range(FRAMES):
+                out = fn(*args)
+            leaf = jax.tree.leaves(out)[0]
+            np.asarray(leaf[(0,) * leaf.ndim])
+            t1 = time.perf_counter()
+            np.asarray(leaf[(0,) * leaf.ndim])
+            t2 = time.perf_counter()
+            samples.append(((t1 - t0) - (t2 - t1)) * 1e3 / FRAMES)
+        return float(np.median(samples))
+
+    coarse_ms = _time(coarse_fn, (dev,))
+    ce = jax.block_until_ready(coarse_fn(dev))
+    stream, first, n_entries, _, solid = ce
+    solid_u32 = jax.block_until_ready(_solid_to_present_u32(solid))
+
+    def fine_fn(f, n, s, st):
+        return fine_rasterize_entries(
+            f, n, s, st, 0, tile_h=cfg.tile_height, tile_w=cfg.tile_width,
+            tiles_x=cfg.tiles_x, paired=kw["pair"] != "off",
+            runs=(kw["pair"] == "off"
+                  and os.environ.get("PIET_RUNS", "1") == "1"))
+
+    fine_ms = _time(fine_fn, (first, n_entries, solid_u32, stream))
+    return frame_roofline(stats, cfg, coarse_ms, fine_ms, total_ms)
+
+
 def main() -> int:
     import jax
 
@@ -123,6 +186,16 @@ def main() -> int:
     ms, cfg, stats = _bench_config(name, make(), w, h)
     mpix_s = (w * h) / (ms * 1e-3) / 1e6
     segs_s = float(stats.get("n_segments", 0)) / (ms * 1e-3)
+
+    # Roofline (piet_tpu/roofline.py): per-stage speed-of-light floors
+    # from the frame's record counts vs v5e HBM/VPU peaks, plus measured
+    # coarse/fine split for pct_of_roofline (two extra jits, cached).
+    roofline = None
+    if on_tpu:
+        try:
+            roofline = _roofline_split(make(), cfg, stats, ms)
+        except Exception as e:
+            roofline = {"error": str(e)[:200]}
     out = {
         "metric": ("tiger_4k_ms_per_frame" if on_tpu
                    else "tiger_512_ms_per_frame_cpu_fallback"),
@@ -140,6 +213,8 @@ def main() -> int:
         "max_tile_cmds": int(stats.get("max_tile_cmds", 0)),
         "configs": results,
     }
+    if roofline is not None:
+        out["roofline"] = roofline
     print(json.dumps(out))
     return 0
 

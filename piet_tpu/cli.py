@@ -136,6 +136,10 @@ def cmd_animate(args) -> int:
     from .utils.png import write_png
 
     os.makedirs(args.outdir, exist_ok=True)
+
+    if args.scene == "animated" and getattr(args, "device_anim", True):
+        return _animate_device(args)
+
     t_enc0 = time.perf_counter()
     scenes = []
     for i in range(args.frames):
@@ -184,6 +188,67 @@ def cmd_animate(args) -> int:
         "viewport": f"{cfg.width}x{cfg.height}",
         "encode_ms_per_frame": round(encode_ms / n, 3),
         "render_ms_per_frame": round(render_ms / n, 3),
+        "outdir": args.outdir,
+    }))
+    return 0
+
+
+def _animate_device(args) -> int:
+    """Device-side animation (scene/animate.py): geometry is a function of
+    scalar t evaluated INSIDE the render jit -- zero host encode per frame
+    (the TPU-native answer to the reference's static-scene 60 Hz loop,
+    TestApp/PietRenderer.m:59-103; see VERDICT r3 gap #2)."""
+    import dataclasses
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .renderer.capacity import fit_capacities
+    from .scene import animate
+    from .scene.fixtures import make_animated_frame
+    from .utils.png import write_png
+
+    tmpl = animate.template_scene()
+    cfg = _config_for(args, tmpl)
+    # Capacity envelope over the t sweep (field-wise max of a few sampled
+    # host-built frames + bucket headroom) so one executable covers the
+    # whole animation; overflow is still checked per run via stats.
+    for k in range(1, 5):
+        t = args.t0 + (args.frames - 1) * args.dt * k / 4
+        c = fit_capacities(make_animated_frame(t), cfg, bucket=True)
+        cfg = dataclasses.replace(
+            cfg,
+            max_segments=max(cfg.max_segments, c.max_segments),
+            max_hits=max(cfg.max_hits, c.max_hits),
+            max_candidates=max(cfg.max_candidates, c.max_candidates),
+            max_deltas=max(cfg.max_deltas, c.max_deltas),
+            cmd_capacity=max(cfg.cmd_capacity, c.cmd_capacity))
+    render_t, _ = animate.make_animated_render_fn(
+        cfg, fine_impl=args.fine_impl)
+
+    img, stats = render_t(jnp.float32(args.t0))
+    np.asarray(img[0, 0])  # compile + warm
+
+    # The 60 fps loop: dispatch every frame (one f32 argument each -- no
+    # host re-encode, no staging), sync once at the end.
+    t_r0 = time.perf_counter()
+    outs = [render_t(jnp.float32(args.t0 + i * args.dt))
+            for i in range(args.frames)]
+    np.asarray(outs[-1][0][0, 0])  # fetch-sync: all earlier frames ran
+    wall_ms = (time.perf_counter() - t_r0) * 1e3
+
+    os.makedirs(args.outdir, exist_ok=True)
+    for i, (img, st) in enumerate(outs):
+        write_png(os.path.join(args.outdir, f"frame_{i:04d}.png"),
+                  np.ascontiguousarray(np.asarray(img)).view(np.uint8)
+                  .reshape(cfg.height, cfg.width, 4))
+    print(json.dumps({
+        "scene": "animated", "frames": args.frames, "device_anim": True,
+        "viewport": f"{cfg.width}x{cfg.height}",
+        "encode_ms_per_frame": 0.0,
+        "wall_ms_per_frame": round(wall_ms / args.frames, 3),
+        "fps_wall": round(1e3 * args.frames / wall_ms, 1),
         "outdir": args.outdir,
     }))
     return 0
@@ -302,6 +367,10 @@ def main(argv=None) -> int:
     a.add_argument("--chunk", type=int, default=8,
                    help="frames per device dispatch")
     a.add_argument("--outdir", default="frames")
+    a.add_argument("--host-encode", dest="device_anim",
+                   action="store_false", default=True,
+                   help="per-frame HOST re-encode instead of the "
+                        "device-side animation path (scene/animate.py)")
     a.set_defaults(fn=cmd_animate)
 
     pr = sub.add_parser("profile", help="per-stage pipeline timing (JSON)")

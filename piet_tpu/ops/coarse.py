@@ -364,6 +364,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
          scene.widths[:, None], i2f(seg_excl)[:, None],
          i2f(item_ids)[:, None], first_pt], axis=1)      # (NI, 14)
     sitem_f = _db(exp_rows(item_rows, seg_counts, max_segments, seg_excl))
+    stage_probe("seg_expand", sitem_f)
     sitem = jax.lax.bitcast_convert_type(sitem_f[:, :9], jnp.int32)
     seg_idx = jnp.arange(max_segments, dtype=jnp.int32)
     seg_valid = seg_idx < n_segs
@@ -400,6 +401,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     # profiler's stage probes) is impl-independent.
     p0, p1 = _db(jnp.where(seg_valid[:, None], p0e, 0.0),
                  jnp.where(seg_valid[:, None], p1e, 0.0))
+    stage_probe("seg_points", p0, p1)
     sx, sy = p0[:, 0], p0[:, 1]
     ex, ey = p1[:, 0], p1[:, 1]
     a = ey - sy
@@ -658,6 +660,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         jnp.concatenate([seg_all, i2f(d_y_lo)[:, None],
                          i2f(del_excl)[:, None]], axis=1),
         delta_counts, max_deltas, del_excl))
+    stage_probe("del_expand", da)
     df32 = da[:, :12]
     di32 = jax.lax.bitcast_convert_type(da[:, 12:23], jnp.int32)
     del_idx = jnp.arange(max_deltas, dtype=jnp.int32)
@@ -683,6 +686,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     tx_c = jnp.where(p_m1, tx_guess - 1,
                      jnp.where(p_0, tx_guess,
                                jnp.where(p_p1, tx_guess + 1, tx_guess + 2)))
+    stage_probe("del_cross", tx_c)
     d_value = -sign_a  # the reference's `backdrop -= s00` with s00 == sign(a)
     # Scatter into candidate slots: clamp the crossing column into the item's
     # bbox rect row; drop rows outside the rect or crossings right of it.
@@ -701,6 +705,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         jnp.where(del_valid, di32[:, 5], max_candidates),
         jnp.where(del_valid, d_cand_end, max_candidates + 1),
         max_candidates)[:, 0]
+    stage_probe("del_scatter", delta_scatter)
     # Per-(item, row) prefix sum along tx: candidates are row-major per item,
     # so subtract the running total at each row start.  (cf/ci rows were
     # expanded up front with the candidate records.)
@@ -1160,6 +1165,9 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         diag = {
             "n_segments": n_segs, "n_hits": n_hits, "n_candidates": n_cand,
             "n_deltas": n_deltas,
+            # Entries the fine kernel actually interprets (post bail /
+            # cursor reset) -- the roofline model's fine-stage work unit.
+            "live_entries": n_live.sum(),
             "seg_overflow": jnp.maximum(n_segs - max_segments, 0),
             "hit_overflow": jnp.maximum(n_hits - max_hits, 0),
             "cand_overflow": jnp.maximum(n_cand - max_candidates, 0),

@@ -115,11 +115,21 @@ def _fine_kernel(counts_ref, row0_ref, cmds_hbm, out_ref, cmds_s, sems, *,
     def noop(slot, j, r, g, b, df, area):
         return r, g, b, df, area
 
-    # Tags >= 9 (Bail + the clip/layer group extension) are no-ops here:
-    # the DENSE path does not implement group stacks (the entry-stream
-    # kernel and ops/fine_xla.py do; the renderer's pallas path uses the
-    # entry stream).
-    ordered = tuple(lift(c) for c in make_commands(X, Y, bar)) + (noop,)
+    def debug_magenta(slot, j, r, g, b, df, area):
+        # Tags >= 10 (the clip/layer group extension) are NOT implemented
+        # by the DENSE path (the entry-stream kernel and ops/fine_xla.py
+        # carry the group stacks; the renderer's pallas path uses the
+        # entry stream).  Paint the reference's unknown-tag debug magenta
+        # (PietRender.metal:554-557) so a group command reaching this
+        # test-only kernel fails every image comparison loudly instead of
+        # silently no-opping.
+        one = jnp.ones_like(r)
+        return one, jnp.zeros_like(g), one, df, area
+
+    # Tag 9 (Bail) is a legitimate no-op: solid tiles are handled by the
+    # present fast path and excluded from comparisons.
+    ordered = (tuple(lift(c) for c in make_commands(X, Y, bar))
+               + (noop, debug_magenta))
 
     def chunk_body(ci, state):
         slot = jax.lax.rem(ci, 2)
@@ -135,7 +145,7 @@ def _fine_kernel(counts_ref, row0_ref, cmds_hbm, out_ref, cmds_s, sems, *,
         def cmd_body(j, st):
             r, g, b, df, area = st
             tag = cmds_s[slot, 0, j].astype(jnp.int32)
-            idx = jnp.clip(tag - 2, 0, 7)
+            idx = jnp.clip(tag - 2, 0, 8)
             return jax.lax.switch(idx, ordered, slot, j, r, g, b, df, area)
 
         return jax.lax.fori_loop(0, live, cmd_body, state)

@@ -30,6 +30,7 @@ import numpy as np
 from .config import RenderConfig
 from .ops.coarse import coarse_rasterize
 from .ops.pairing import pair_mode_from_env
+from .renderer.renderer import hitfuse_choice
 from .ops.fine import fine_rasterize_entries
 from .renderer.renderer import (_resolve_fine_impl, _solid_to_present_u32,
                                 make_render_fn, prepare_scene)
@@ -38,13 +39,18 @@ from .renderer.renderer import (_resolve_fine_impl, _solid_to_present_u32,
 #: prefix timings are monotone and differences are per-stage costs.
 STAGE_ORDER = (
     "cand_expand",    # item bbox -> candidate record expansion
-    "seg_derive",     # segment point gathers + line equations
+    "seg_expand",     # per-item attribute row -> per-segment expansion
+    "seg_points",     # segment endpoint gathers
+    "seg_derive",     # line equations + bboxes over segments
     "seg_rects",      # per-segment tile emission rects
     "hit_expand",     # (segment, tile) hit-record expansion
     "hit_gather",     # packed per-segment attribute row gather
     "hit_tests",      # exact per-record f32 sign tests + slot args
     "cand_emit",      # per-candidate emitted-command counts
-    "deltas",         # winding delta records + backdrop prefix sums
+    "del_expand",     # winding-delta record expansion
+    "del_cross",      # crossing-column probes
+    "del_scatter",    # keyed delta sums into candidate slots
+    "deltas",         # backdrop prefix sums
     "rows",           # pre-sort 16-word row assembly
     "sort",           # the global stable sort
     "sorted_gather",  # sorted-order row gather
@@ -89,14 +95,37 @@ def _time_pipelined(fn, args, reps: int) -> float:
     return float(np.median(samples))
 
 
+def _isotonic(y: np.ndarray) -> np.ndarray:
+    """Pool-adjacent-violators: the L2-nearest non-decreasing sequence."""
+    vals = list(map(float, y))
+    wts = [1.0] * len(vals)
+    out_v: list[float] = []
+    out_w: list[float] = []
+    for v, w in zip(vals, wts):
+        out_v.append(v)
+        out_w.append(w)
+        while len(out_v) > 1 and out_v[-2] > out_v[-1]:
+            v2, w2 = out_v.pop(), out_w.pop()
+            v1, w1 = out_v.pop(), out_w.pop()
+            out_v.append((v1 * w1 + v2 * w2) / (w1 + w2))
+            out_w.append(w1 + w2)
+    res = []
+    for v, w in zip(out_v, out_w):
+        res.extend([v] * int(w))
+    return np.asarray(res)
+
+
 def profile_render(scene, config: RenderConfig, *, fine_impl: str = "auto",
                    reps: int = 10, interpret: bool = False) -> Dict[str, float]:
     """Stage -> ms for one frame of ``scene`` under ``config``.
 
     Returns an ordered dict: every coarse stage (incremental cost), then
     ``coarse_total``, ``fine``, ``end_to_end`` (full jitted render step,
-    including the present composite).  Increments can be slightly negative
-    in the noise floor; they are reported as measured.
+    including the present composite).  Stage increments are non-negative
+    by construction: prefixes are sampled in interleaved rounds, medianed,
+    and projected onto the nearest monotone sequence before differencing
+    (prefix k's dependency closure contains prefix k-1's, so the true
+    cumulative times ARE monotone).
     """
     dev = prepare_scene(scene, config)
     if fine_impl == "auto":
@@ -120,10 +149,7 @@ def profile_render(scene, config: RenderConfig, *, fine_impl: str = "auto",
               expand_impl=(os.environ.get("PIET_EXPAND_IMPL", "xla")
                            if impl == "pallas" and not interpret
                            else "xla"),
-              hitfuse=("pallas" if (os.environ.get("PIET_HITFUSE", "1")
-                                    == "1" and impl == "pallas"
-                                    and not interpret)
-                       else "off"),
+              hitfuse=hitfuse_choice(config, impl, interpret),
               pair=pair_mode_from_env())
 
     def prefix_fn(k):
@@ -137,15 +163,44 @@ def profile_render(scene, config: RenderConfig, *, fine_impl: str = "auto",
 
         return run
 
+    stage_names = [n for k, n in enumerate(STAGE_ORDER)
+                   if kw["output"] == "entries"
+                   or n not in ("rows", "sorted_gather", "runs")]
+    stage_ks = [k for k, n in enumerate(STAGE_ORDER) if n in stage_names]
+
+    # Stage attribution that cannot go negative (round-3 weak #6: the
+    # independent per-prefix medians differenced to seg_derive -0.28 ms at
+    # 4K -- useless at the 0.5 ms scale round-4 decisions need):
+    # 1. compile every prefix first, then sample all prefixes in
+    #    INTERLEAVED rounds (drift hits every prefix equally, not the
+    #    later-timed ones);
+    # 2. per-prefix median over the rounds;
+    # 3. prefix times are cumulative dependency closures, so the true
+    #    sequence is monotone -- project the medians onto the nearest
+    #    monotone sequence (pool-adjacent-violators) before differencing.
+    prefix_fns = [prefix_fn(k) for k in stage_ks]
+    for f in prefix_fns:
+        _sync(f(dev))  # compile + warm outside the timed rounds
+    rounds = 5
+    samples = np.zeros((rounds, len(prefix_fns)))
+    for r in range(rounds):
+        for j, f in enumerate(prefix_fns):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = f(dev)
+            _sync(out)
+            t1 = time.perf_counter()
+            _sync(out)  # idle-queue fetch: pure sync/rtt cost
+            t2 = time.perf_counter()
+            samples[r, j] = ((t1 - t0) - (t2 - t1)) * 1e3 / reps
+    med = np.median(samples, axis=0)
+    mono = _isotonic(med)
+
     results: Dict[str, float] = {}
     prev = 0.0
-    for k, name in enumerate(STAGE_ORDER):
-        if kw["output"] != "entries" and name in ("rows", "sorted_gather",
-                                                  "runs"):
-            continue
-        ms = _time_pipelined(prefix_fn(k), (dev,), reps)
-        results[name] = round(ms - prev, 3)
-        prev = ms
+    for name, ms in zip(stage_names, mono):
+        results[name] = round(float(ms - prev), 3)
+        prev = float(ms)
 
     @jax.jit
     def coarse_full(d):

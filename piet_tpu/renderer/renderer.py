@@ -154,6 +154,31 @@ def _resolve_fine_impl(fine_impl: str) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+#: Records-count gate for the fused hit kernel: below this many fitted hit
+#: records its fixed cost (~0.24 ms measured, tools/onchip_r3.log r3e
+#: animated_clips A/B: 0.883 ms with PIET_HITFUSE=0 vs 1.124 with it on)
+#: exceeds what fusion saves.  Fitted capacities (renderer/capacity.py)
+#: cluster far from the boundary: animated_clips 3.4k vs >= 23k hits on
+#: every record-heavy BASELINE config.
+HITFUSE_MIN_HITS = 8192
+
+
+def hitfuse_choice(config: RenderConfig, fine_impl: str,
+                   interpret: bool) -> str:
+    """Resolve the hitfuse pipeline knob: PIET_HITFUSE=0 off, =1 force on,
+    default auto-gates by the config's fitted hit capacity (a static,
+    compile-time proxy for scene size).  Shared with the profiler so both
+    run the same pipeline."""
+    if fine_impl != "pallas" or interpret:
+        return "off"
+    env = os.environ.get("PIET_HITFUSE", "auto")
+    if env == "0":
+        return "off"
+    if env != "1" and config.max_hits < HITFUSE_MIN_HITS:
+        return "off"
+    return "pallas"
+
+
 def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
                 row0, fine_impl: str, interpret: bool = False):
     """Coarse + fine + present for a horizontal slab of ``tiles_y`` tile
@@ -185,10 +210,12 @@ def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
                      else "xla"),
         # Fused hit-record kernel (ops/hitfuse.py): expansion + exact
         # tests + entry-row assembly in one Pallas pass (PIET_HITFUSE=0
-        # opts out; entries output only, real TPU only).
-        hitfuse=("pallas" if (os.environ.get("PIET_HITFUSE", "1") == "1"
-                              and fine_impl == "pallas" and not interpret)
-                 else "off"),
+        # opts out, =1 forces on; entries output only, real TPU only).
+        # Default: gated by scene size -- the fused kernel's fixed cost
+        # (~0.24 ms, round-3e A/B on animated_clips at 3.4k hits) only
+        # pays for itself on record-heavy scenes (every other BASELINE
+        # config fits >= 23k hits).
+        hitfuse=hitfuse_choice(config, fine_impl, interpret),
         # Entry pairing (ops/pairing.py): PIET_PAIR in {0, 1, hole}
         # (0 = off, 1 = merge + compact, hole = merge + in-place no-op
         # seconds).  Default "off": measured on chip at 4K tiger (round
