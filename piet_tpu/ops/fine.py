@@ -34,6 +34,7 @@ documented <=2-code tolerance (tests/test_fine.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -242,8 +243,8 @@ SC_ENTRIES = SC_BLOCKS * 128
 def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                          out_ref, cmds_s, df_s, area_s, r_s, g_s, b_s,
                          cov_s, sv_r, sv_g, sv_b, depth_s, sems, resid_s,
-                         *, tile_h: int, tile_w: int, tiles_x: int,
-                         direct: bool, paired: bool,
+                         px_s, *, tile_h: int, tile_w: int, tiles_x: int,
+                         tpb: int, direct: bool, paired: bool,
                          runs: bool, interpret: bool):
     if interpret:
         bar = jax.lax.optimization_barrier  # best-effort (see cmd_math.py)
@@ -257,434 +258,464 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
             # round-1 kernel too -- pre-existing, see test_tpu_exact).
             return x
 
-    t = pl.program_id(0)
-    fe = first_ref[t]
-    n = n_ref[t]
-    ty = row0_ref[0] + t // tiles_x
-    tx = t % tiles_x
-    x0 = (tx * tile_w).astype(jnp.float32)
-    y0 = (ty * tile_h).astype(jnp.float32)
-    X = x0 + jax.lax.broadcasted_iota(
-        jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-    Y = y0 + jax.lax.broadcasted_iota(
-        jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    # Multi-tile grid blocks: one grid step interprets ``tpb``
+    # consecutive tiles (VERDICT r4 item: the per-STEP fixed cost --
+    # grid sequencing, out-window DMA, scalar prologue -- dominated
+    # the 4K tiger's fine time at ~2 us/tile x 2040 tiles; tiles
+    # average only ~18 entries there).  The tile loop is a fori_loop,
+    # so kernel code size does not scale with tpb; packed pixels land
+    # in the px_s scratch at a dynamic sublane index and are copied
+    # to the output window with static slices after the loop.
+    step = pl.program_id(0)
+    n_tiles_total = pl.num_programs(0) * tpb
 
-    # ---- superchunk residency (direct-mapped stream cache) --------------
-    # The stream is sorted by tile, so consecutive tiles' entries live in
-    # the SAME absolute 512-entry superchunk (~23 tiles/chunk at the 4K
-    # tiger's 22.5 entries/tile).  Superchunks are ABSOLUTE (aligned at
-    # c * SC_ENTRIES) and cached direct-mapped in the 4 scratch slots
-    # (slot = c & 3): a resident chunk is reused across tiles with zero
-    # DMA, removing both the ~23x redundant stream traffic and the
-    # per-tile DMA wait that dominated the per-tile fixed cost
-    # (tools/fine_entry_bench.py: 1.2-3.4 us/tile intercept).  Scratch
-    # persists across the sequential grid; resid_s[0:4] holds each slot's
-    # resident chunk id, resid_s[4:8] an in-flight (started, un-awaited)
-    # chunk id, both -1 when empty.  Every started DMA is drained: an
-    # inflight mark is only ever set for a chunk some later ensure() on
-    # that exact slot will wait for (in-tile prefetches by this tile's
-    # next chunk iteration; cross-tile prefetches by the next live tile's
-    # first ensure, issued under the same n_ref[t+1] > 0 predicate).
-    c0 = fe // SC_ENTRIES
-    skip = fe - c0 * SC_ENTRIES
-    total = skip + n
-    n_chunks = jnp.maximum(pl.cdiv(total, SC_ENTRIES), 1)
-    n_tiles_total = pl.num_programs(0)
+    def tile_body(k, _):
+        t = step * tpb + k
+        fe = first_ref[t]
+        n = n_ref[t]
+        ty = row0_ref[0] + t // tiles_x
+        tx = t % tiles_x
+        x0 = (tx * tile_w).astype(jnp.float32)
+        y0 = (ty * tile_h).astype(jnp.float32)
+        X = x0 + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+        Y = y0 + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
 
-    @pl.when(t == 0)
-    def _():
-        for s in range(4):
-            resid_s[s] = -1
-            resid_s[4 + s] = -1
+        # ---- superchunk residency (direct-mapped stream cache) --------------
+        # The stream is sorted by tile, so consecutive tiles' entries live in
+        # the SAME absolute 512-entry superchunk (~23 tiles/chunk at the 4K
+        # tiger's 22.5 entries/tile).  Superchunks are ABSOLUTE (aligned at
+        # c * SC_ENTRIES) and cached direct-mapped in the 4 scratch slots
+        # (slot = c & 3): a resident chunk is reused across tiles with zero
+        # DMA, removing both the ~23x redundant stream traffic and the
+        # per-tile DMA wait that dominated the per-tile fixed cost
+        # (tools/fine_entry_bench.py: 1.2-3.4 us/tile intercept).  Scratch
+        # persists across the sequential grid; resid_s[0:4] holds each slot's
+        # resident chunk id, resid_s[4:8] an in-flight (started, un-awaited)
+        # chunk id, both -1 when empty.  Every started DMA is drained: an
+        # inflight mark is only ever set for a chunk some later ensure() on
+        # that exact slot will wait for (in-tile prefetches by this tile's
+        # next chunk iteration; cross-tile prefetches by the next live tile's
+        # first ensure, issued under the same n_ref[t+1] > 0 predicate).
+        c0 = fe // SC_ENTRIES
+        skip = fe - c0 * SC_ENTRIES
+        total = skip + n
+        n_chunks = jnp.maximum(pl.cdiv(total, SC_ENTRIES), 1)
 
-    def chunk_dma(c, slot):
-        # stream_hbm carries SC_BLOCKS zero blocks of tail padding, so the
-        # last superchunk slice never runs off the end.
-        return pltpu.make_async_copy(
-            stream_hbm.at[pl.ds(c * SC_BLOCKS, SC_BLOCKS)],
-            cmds_s.at[slot], sems.at[slot])
-
-    def ensure(c):
-        """Make chunk c resident in its slot (drain-then-fetch)."""
-        slot = c & 3
-
-        @pl.when(resid_s[4 + slot] >= 0)
+        @pl.when(t == 0)
         def _():
-            chunk_dma(resid_s[4 + slot], slot).wait()
-            resid_s[slot] = resid_s[4 + slot]
-            resid_s[4 + slot] = -1
+            for s in range(4):
+                resid_s[s] = -1
+                resid_s[4 + s] = -1
 
-        @pl.when(resid_s[slot] != c)
-        def _():
-            chunk_dma(c, slot).start()
-            chunk_dma(c, slot).wait()
-            resid_s[slot] = c
+        def chunk_dma(c, slot):
+            # stream_hbm carries SC_BLOCKS zero blocks of tail padding, so the
+            # last superchunk slice never runs off the end.
+            return pltpu.make_async_copy(
+                stream_hbm.at[pl.ds(c * SC_BLOCKS, SC_BLOCKS)],
+                cmds_s.at[slot], sems.at[slot])
 
-    def prefetch(c):
-        """Start fetching chunk c if neither resident nor in flight."""
-        slot = c & 3
+        def ensure(c):
+            """Make chunk c resident in its slot (drain-then-fetch)."""
+            slot = c & 3
 
-        @pl.when((resid_s[slot] != c) & (resid_s[4 + slot] < 0))
-        def _():
-            chunk_dma(c, slot).start()
-            resid_s[4 + slot] = c
-
-    # Draw resolves multiply the clip-STACK coverage plane (group
-    # extension); unclipped tiles read the constant-1.0 plane 0 (an exact
-    # bitwise no-op multiply).
-    cmds = make_commands(X, Y, bar, cov=lambda: cov_s[depth_s[0]])
-    grad_lin, grad_rad = make_grad_commands(
-        X, Y, bar, cov=lambda: cov_s[depth_s[0]])
-    shp = (tile_h, tile_w)
-
-    # ---- state in VMEM scratch -----------------------------------------
-    # ALL pixel state (r/g/b/df/area) lives in VMEM scratch refs; the
-    # entry loop carries nothing, and runs 4x unrolled (plus a tail loop).
-    # Fill/line updates touch the FULL tile: the on-chip delivery bench
-    # (tools/arg_delivery_bench.py) measured the full-tile branch-free
-    # update at ~37 ns/entry at ANY tile height 8..32 (extra vregs hide
-    # under scalar/vector overlap), while the former row-windowed dynamic
-    # slice path cost ~54 ns/entry in window LOGIC alone -- and at the
-    # production 32-row tile only 20-38% of BASELINE entries even fit an
-    # 8-row window (tools/group_stats.py), so most entries paid the
-    # window math AND the full-tile update.  Deleting the window bought
-    # 8.03 -> 7.42 ms on the 4K tiger and 40.2 -> 34.5 ms on beziers_10k
-    # (tools/time_config.py A/B, round 3).  The dispatch uses predicated
-    # blocks (untaken classes' operand reads are SKIPPED -- scalar reads
-    # are near-free but Mosaic still schedules them) and shift/mask index
-    # decomposition.
-    #
-    # df accumulates the SQUARED line field: min commutes bit-exactly with
-    # the correctly rounded monotone sqrt, deferred to the stroke resolve.
-    # (Area-delta QUANTIZATION was tried here and reverted: Mosaic's
-    # non-correctly-rounded division makes any rounding boundary amplify
-    # 1-ulp device-vs-oracle noise into visible codes -- see the NOTE in
-    # cmd_math.py.  Entry interpretation stays strictly sequential.)
-
-    UNROLL = 4
-
-    def chunk_body(ci, _):
-        # Chunk ids are consumed in NONDECREASING order across the whole
-        # grid (first_ref is sorted by tile; in-tile chunks ascend) --
-        # the direct-mapped marking relies on it: once a prefetch starts
-        # overwriting a slot, the chunk it evicts can never be wanted
-        # again, so the stale resid_s entry is harmless until ensure()
-        # retargets it.
-        c = c0 + ci
-
-        @pl.when(ci + 1 < n_chunks)
-        def _():
-            prefetch(c + 1)
-
-        ensure(c)
-        slot = c & 3
-
-        # ---- shared unpaired fill/line evaluators (run dispatch) --------
-        # One plain fill / one line over the full tile -- exactly the
-        # unpaired math of accum_entry below, shared by the run bodies
-        # and the edge-entry slot-1 fill.
-        def fill_one(s1arg):
-            m, d = fill_delta(s1arg, X, Y, bar)
-            area_s[:] = jnp.where(m, area_s[:] + d, area_s[:])
-
-        def line_one(s0arg):
-            df_s[:] = jnp.minimum(df_s[:],
-                                  line_field_sq(s0arg, X, Y, bar))
-
-        def accum_entry(j):
-            """One entry: predicated class blocks (fewest scalar reads --
-            the scalar unit is a measured per-entry bottleneck, so the
-            untaken classes' operand reads are skipped, and the entry
-            index decomposes by shift/mask, not div/rem)."""
-            blk = jax.lax.shift_right_logical(j, 7)
-            lane = j & 127
-
-            def s0arg(k):
-                return cmds_s[slot, blk, W_S0_ARG + k, lane]
-
-            def s1arg(k):
-                return cmds_s[slot, blk, W_S1_ARG + k, lane]
-
-            tag0 = cmds_s[slot, blk, W_S0_TAG, lane].astype(jnp.int32)
-
-            # Entry pairing (see ops/coarse.py): an entry may carry TWO
-            # same-class records of one (tile, item) -- two Lines (L2) or
-            # two plain Fills (F2) -- halving the per-entry dispatch for
-            # the dominant classes.  Slot 0 applies BEFORE slot 1, which
-            # preserves the oracle's exact sequential accumulation order
-            # (min is commutative anyway; fill adds stay in segment
-            # order).  The pair tests are NESTED (taken-class only) so
-            # the top-level dispatch test count is unchanged -- a new
-            # top-level branch measured +3.5 ms at 4K (ROADMAP dead-end).
-            if runs:
-                # Lines are ALWAYS run entries (W_RUN < 0), dispatched by
-                # the while-loop run driver -- this path never sees one.
-                pass
-            else:
-                line_block(tag0, slot, blk, lane, s0arg, s1arg)
-
-            @pl.when(tag0 == CMD_FILL_EDGE)
+            @pl.when(resid_s[4 + slot] >= 0)
             def _():
-                area_s[:] = area_s[:] + edge_delta(s0arg, Y, bar)
+                chunk_dma(resid_s[4 + slot], slot).wait()
+                resid_s[slot] = resid_s[4 + slot]
+                resid_s[4 + slot] = -1
 
-            if runs:
-                # Slot-1 fills here ride edge entries only (plain fills
-                # are run entries); unpaired math, shared helper.
-                @pl.when(cmds_s[slot, blk, W_S1_TAG, lane]
-                         == float(CMD_FILL))
-                def _():
-                    fill_one(s1arg)
-            else:
-                fill_block(tag0, slot, blk, lane, s0arg, s1arg)
-
-            resolve_block(tag0, s0arg)
-            group_block(tag0, s0arg)
-
-        def line_block(tag0, slot, blk, lane, s0arg, s1arg):
-            @pl.when(tag0 == CMD_LINE)
+            @pl.when(resid_s[slot] != c)
             def _():
+                chunk_dma(c, slot).start()
+                chunk_dma(c, slot).wait()
+                resid_s[slot] = c
+
+        def prefetch(c):
+            """Start fetching chunk c if neither resident nor in flight."""
+            slot = c & 3
+
+            @pl.when((resid_s[slot] != c) & (resid_s[4 + slot] < 0))
+            def _():
+                chunk_dma(c, slot).start()
+                resid_s[4 + slot] = c
+
+        # Draw resolves multiply the clip-STACK coverage plane (group
+        # extension); unclipped tiles read the constant-1.0 plane 0 (an exact
+        # bitwise no-op multiply).
+        cmds = make_commands(X, Y, bar, cov=lambda: cov_s[depth_s[0]])
+        grad_lin, grad_rad = make_grad_commands(
+            X, Y, bar, cov=lambda: cov_s[depth_s[0]])
+        shp = (tile_h, tile_w)
+
+        # ---- state in VMEM scratch -----------------------------------------
+        # ALL pixel state (r/g/b/df/area) lives in VMEM scratch refs; the
+        # entry loop carries nothing, and runs 4x unrolled (plus a tail loop).
+        # Fill/line updates touch the FULL tile: the on-chip delivery bench
+        # (tools/arg_delivery_bench.py) measured the full-tile branch-free
+        # update at ~37 ns/entry at ANY tile height 8..32 (extra vregs hide
+        # under scalar/vector overlap), while the former row-windowed dynamic
+        # slice path cost ~54 ns/entry in window LOGIC alone -- and at the
+        # production 32-row tile only 20-38% of BASELINE entries even fit an
+        # 8-row window (tools/group_stats.py), so most entries paid the
+        # window math AND the full-tile update.  Deleting the window bought
+        # 8.03 -> 7.42 ms on the 4K tiger and 40.2 -> 34.5 ms on beziers_10k
+        # (tools/time_config.py A/B, round 3).  The dispatch uses predicated
+        # blocks (untaken classes' operand reads are SKIPPED -- scalar reads
+        # are near-free but Mosaic still schedules them) and shift/mask index
+        # decomposition.
+        #
+        # df accumulates the SQUARED line field: min commutes bit-exactly with
+        # the correctly rounded monotone sqrt, deferred to the stroke resolve.
+        # (Area-delta QUANTIZATION was tried here and reverted: Mosaic's
+        # non-correctly-rounded division makes any rounding boundary amplify
+        # 1-ulp device-vs-oracle noise into visible codes -- see the NOTE in
+        # cmd_math.py.  Entry interpretation stays strictly sequential.)
+
+        UNROLL = 4
+
+        def chunk_body(ci, _):
+            # Chunk ids are consumed in NONDECREASING order across the whole
+            # grid (first_ref is sorted by tile; in-tile chunks ascend) --
+            # the direct-mapped marking relies on it: once a prefetch starts
+            # overwriting a slot, the chunk it evicts can never be wanted
+            # again, so the stale resid_s entry is harmless until ensure()
+            # retargets it.
+            c = c0 + ci
+
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                prefetch(c + 1)
+
+            ensure(c)
+            slot = c & 3
+
+            # ---- shared unpaired fill/line evaluators (run dispatch) --------
+            # One plain fill / one line over the full tile -- exactly the
+            # unpaired math of accum_entry below, shared by the run bodies
+            # and the edge-entry slot-1 fill.
+            def fill_one(s1arg):
+                m, d = fill_delta(s1arg, X, Y, bar)
+                area_s[:] = jnp.where(m, area_s[:] + d, area_s[:])
+
+            def line_one(s0arg):
                 df_s[:] = jnp.minimum(df_s[:],
                                       line_field_sq(s0arg, X, Y, bar))
-                if paired:
+
+            def accum_entry(j):
+                """One entry: predicated class blocks (fewest scalar reads --
+                the scalar unit is a measured per-entry bottleneck, so the
+                untaken classes' operand reads are skipped, and the entry
+                index decomposes by shift/mask, not div/rem)."""
+                blk = jax.lax.shift_right_logical(j, 7)
+                lane = j & 127
+
+                def s0arg(k):
+                    return cmds_s[slot, blk, W_S0_ARG + k, lane]
+
+                def s1arg(k):
+                    return cmds_s[slot, blk, W_S1_ARG + k, lane]
+
+                tag0 = cmds_s[slot, blk, W_S0_TAG, lane].astype(jnp.int32)
+
+                # Entry pairing (see ops/coarse.py): an entry may carry TWO
+                # same-class records of one (tile, item) -- two Lines (L2) or
+                # two plain Fills (F2) -- halving the per-entry dispatch for
+                # the dominant classes.  Slot 0 applies BEFORE slot 1, which
+                # preserves the oracle's exact sequential accumulation order
+                # (min is commutative anyway; fill adds stay in segment
+                # order).  The pair tests are NESTED (taken-class only) so
+                # the top-level dispatch test count is unchanged -- a new
+                # top-level branch measured +3.5 ms at 4K (ROADMAP dead-end).
+                if runs:
+                    # Lines are ALWAYS run entries (W_RUN < 0), dispatched by
+                    # the while-loop run driver -- this path never sees one.
+                    pass
+                else:
+                    line_block(tag0, slot, blk, lane, s0arg, s1arg)
+
+                @pl.when(tag0 == CMD_FILL_EDGE)
+                def _():
+                    area_s[:] = area_s[:] + edge_delta(s0arg, Y, bar)
+
+                if runs:
+                    # Slot-1 fills here ride edge entries only (plain fills
+                    # are run entries); unpaired math, shared helper.
                     @pl.when(cmds_s[slot, blk, W_S1_TAG, lane]
-                             == float(CMD_LINE))
+                             == float(CMD_FILL))
                     def _():
-                        df_s[:] = jnp.minimum(
-                            df_s[:], line_field_sq(s1arg, X, Y, bar))
+                        fill_one(s1arg)
+                else:
+                    fill_block(tag0, slot, blk, lane, s0arg, s1arg)
 
-        def fill_block(tag0, slot, blk, lane, s0arg, s1arg):
-            @pl.when(cmds_s[slot, blk, W_S1_TAG, lane] == float(CMD_FILL))
-            def _():
-                if paired:
-                    # Slot-0 fill (F2 pair) applies BEFORE slot 1,
-                    # preserving the oracle's accumulation order.
-                    @pl.when(tag0 == CMD_FILL)
-                    def _():
-                        mask0, delta0 = fill_delta(s0arg, X, Y, bar)
-                        area_s[:] = jnp.where(mask0, area_s[:] + delta0,
-                                              area_s[:])
+                resolve_block(tag0, s0arg)
+                group_block(tag0, s0arg)
 
-                mask, delta = fill_delta(s1arg, X, Y, bar)
-                area_s[:] = jnp.where(mask, area_s[:] + delta, area_s[:])
-
-        def resolve_block(tag0, s0arg):
-            # Each resolve class under its own predicate, writing ONLY
-            # the planes it changes, in place.  The previous structure (a
-            # lax.switch whose branches returned ALL FIVE state planes,
-            # then unconditional full-state writeback) made Mosaic
-            # materialize copy-through moves of the untouched planes per
-            # resolve entry; untaken pl.when branches are ~1 ns each
-            # (tools/arg_delivery_bench.py disp16).  Arithmetic is
-            # cmd_math's evaluators unchanged: bitwise identical.
-            # make_commands order: circle, line, fill, stroke, fill_edge,
-            # draw_fill, solid.
-            @pl.when(tag0 == CMD_CIRCLE)
-            def _():
-                r2, g2, b2, _, _ = cmds[0](s0arg, r_s[:], g_s[:], b_s[:],
-                                           df_s[:], area_s[:])
-                r_s[:], g_s[:], b_s[:] = r2, g2, b2
-
-            @pl.when(tag0 == CMD_STROKE)
-            def _():
-                # Un-square the accumulated field (exact; see above).
-                df = jnp.sqrt(df_s[:])
-                r2, g2, b2, _, _ = cmds[3](s0arg, r_s[:], g_s[:], b_s[:],
-                                           df, area_s[:])
-                r_s[:], g_s[:], b_s[:] = r2, g2, b2
-                df_s[:] = jnp.full(shp, DF2_INIT, jnp.float32)
-
-            @pl.when(tag0 == CMD_DRAW_FILL)
-            def _():
-                r2, g2, b2, _, area2 = cmds[5](s0arg, r_s[:], g_s[:],
-                                               b_s[:], df_s[:], area_s[:])
-                r_s[:], g_s[:], b_s[:] = r2, g2, b2
-                area_s[:] = area2
-
-            @pl.when(tag0 == CMD_SOLID)
-            def _():
-                r2, g2, b2, _, _ = cmds[6](s0arg, r_s[:], g_s[:], b_s[:],
-                                           df_s[:], area_s[:])
-                r_s[:], g_s[:], b_s[:] = r2, g2, b2
-
-        def group_block(tag0, s0arg):
-            # -- clip / layer group commands (extension; rare) -----------
-            # ONE extra branch test on the hot path; the inner whens only
-            # lower inside it.  Depth counters live in SMEM
-            # (depth_s[0] = clip, depth_s[1] = layer); cov planes and the
-            # saved-rgb layer stack in VMEM scratch.
-            @pl.when(tag0 >= CMD_BEGIN_CLIP)
-            def _():
-                @pl.when(tag0 == CMD_BEGIN_CLIP)
+            def line_block(tag0, slot, blk, lane, s0arg, s1arg):
+                @pl.when(tag0 == CMD_LINE)
                 def _():
-                    d = depth_s[0]
-                    x = area_s[:] + s0arg(0)
-                    ca = clip_alpha(x, s0arg(1), bar)
-                    nd = jnp.minimum(d + 1, MAX_GROUP_DEPTH)
-                    cov_s[nd] = cov_s[d] * ca
-                    depth_s[0] = nd
-                    area_s[:] = jnp.zeros(shp, jnp.float32)
+                    df_s[:] = jnp.minimum(df_s[:],
+                                          line_field_sq(s0arg, X, Y, bar))
+                    if paired:
+                        @pl.when(cmds_s[slot, blk, W_S1_TAG, lane]
+                                 == float(CMD_LINE))
+                        def _():
+                            df_s[:] = jnp.minimum(
+                                df_s[:], line_field_sq(s1arg, X, Y, bar))
 
-                @pl.when(tag0 == CMD_END_CLIP)
+            def fill_block(tag0, slot, blk, lane, s0arg, s1arg):
+                @pl.when(cmds_s[slot, blk, W_S1_TAG, lane] == float(CMD_FILL))
                 def _():
-                    depth_s[0] = jnp.maximum(depth_s[0] - 1, 0)
+                    if paired:
+                        # Slot-0 fill (F2 pair) applies BEFORE slot 1,
+                        # preserving the oracle's accumulation order.
+                        @pl.when(tag0 == CMD_FILL)
+                        def _():
+                            mask0, delta0 = fill_delta(s0arg, X, Y, bar)
+                            area_s[:] = jnp.where(mask0, area_s[:] + delta0,
+                                                  area_s[:])
 
-                @pl.when(tag0 == CMD_BEGIN_LAYER)
+                    mask, delta = fill_delta(s1arg, X, Y, bar)
+                    area_s[:] = jnp.where(mask, area_s[:] + delta, area_s[:])
+
+            def resolve_block(tag0, s0arg):
+                # Each resolve class under its own predicate, writing ONLY
+                # the planes it changes, in place.  The previous structure (a
+                # lax.switch whose branches returned ALL FIVE state planes,
+                # then unconditional full-state writeback) made Mosaic
+                # materialize copy-through moves of the untouched planes per
+                # resolve entry; untaken pl.when branches are ~1 ns each
+                # (tools/arg_delivery_bench.py disp16).  Arithmetic is
+                # cmd_math's evaluators unchanged: bitwise identical.
+                # make_commands order: circle, line, fill, stroke, fill_edge,
+                # draw_fill, solid.
+                @pl.when(tag0 == CMD_CIRCLE)
                 def _():
-                    ld = jnp.minimum(depth_s[1], MAX_GROUP_DEPTH - 1)
-                    sv_r[ld] = r_s[:]
-                    sv_g[ld] = g_s[:]
-                    sv_b[ld] = b_s[:]
-                    depth_s[1] = ld + 1
+                    r2, g2, b2, _, _ = cmds[0](s0arg, r_s[:], g_s[:], b_s[:],
+                                               df_s[:], area_s[:])
+                    r_s[:], g_s[:], b_s[:] = r2, g2, b2
 
-                @pl.when(tag0 == CMD_END_LAYER)
+                @pl.when(tag0 == CMD_STROKE)
                 def _():
-                    alpha = s0arg(0)
-                    ld = jnp.maximum(depth_s[1] - 1, 0)
-                    r_s[:] = sv_r[ld] + (r_s[:] - sv_r[ld]) * alpha
-                    g_s[:] = sv_g[ld] + (g_s[:] - sv_g[ld]) * alpha
-                    b_s[:] = sv_b[ld] + (b_s[:] - sv_b[ld]) * alpha
-                    depth_s[1] = ld
+                    # Un-square the accumulated field (exact; see above).
+                    df = jnp.sqrt(df_s[:])
+                    r2, g2, b2, _, _ = cmds[3](s0arg, r_s[:], g_s[:], b_s[:],
+                                               df, area_s[:])
+                    r_s[:], g_s[:], b_s[:] = r2, g2, b2
+                    df_s[:] = jnp.full(shp, DF2_INIT, jnp.float32)
 
-                # Gradient resolves (2-stop brush extension): operand
-                # words ride s0arg(0..11) -- word 8 (W_S1_TAG) carries
-                # arg 7, legal because the payload there (c0 alpha) is
-                # in [0,1] and never a valid tag (entry_stream.py).
-                def _apply_grad(cmd):
-                    r2, g2, b2, _, area2 = cmd(
-                        s0arg, r_s[:], g_s[:], b_s[:], df_s[:], area_s[:])
+                @pl.when(tag0 == CMD_DRAW_FILL)
+                def _():
+                    r2, g2, b2, _, area2 = cmds[5](s0arg, r_s[:], g_s[:],
+                                                   b_s[:], df_s[:], area_s[:])
                     r_s[:], g_s[:], b_s[:] = r2, g2, b2
                     area_s[:] = area2
 
-                @pl.when(tag0 == CMD_DRAW_LIN_GRAD)
+                @pl.when(tag0 == CMD_SOLID)
                 def _():
-                    _apply_grad(grad_lin)
+                    r2, g2, b2, _, _ = cmds[6](s0arg, r_s[:], g_s[:], b_s[:],
+                                               df_s[:], area_s[:])
+                    r_s[:], g_s[:], b_s[:] = r2, g2, b2
 
-                @pl.when(tag0 == CMD_DRAW_RAD_GRAD)
+            def group_block(tag0, s0arg):
+                # -- clip / layer group commands (extension; rare) -----------
+                # ONE extra branch test on the hot path; the inner whens only
+                # lower inside it.  Depth counters live in SMEM
+                # (depth_s[0] = clip, depth_s[1] = layer); cov planes and the
+                # saved-rgb layer stack in VMEM scratch.
+                @pl.when(tag0 >= CMD_BEGIN_CLIP)
                 def _():
-                    _apply_grad(grad_rad)
+                    @pl.when(tag0 == CMD_BEGIN_CLIP)
+                    def _():
+                        d = depth_s[0]
+                        x = area_s[:] + s0arg(0)
+                        ca = clip_alpha(x, s0arg(1), bar)
+                        nd = jnp.minimum(d + 1, MAX_GROUP_DEPTH)
+                        cov_s[nd] = cov_s[d] * ca
+                        depth_s[0] = nd
+                        area_s[:] = jnp.zeros(shp, jnp.float32)
 
-                # Winding carry (multi-subpath fill extension): a CONT
-                # subpath's interior backdrop; resolved by the group's
-                # final DrawFill.
-                @pl.when(tag0 == CMD_WIND)
-                def _():
-                    area_s[:] = area_s[:] + s0arg(0)
+                    @pl.when(tag0 == CMD_END_CLIP)
+                    def _():
+                        depth_s[0] = jnp.maximum(depth_s[0] - 1, 0)
 
-        lo = jnp.where(ci == 0, skip, 0)
-        hi = jnp.minimum(total - ci * SC_ENTRIES, SC_ENTRIES)
+                    @pl.when(tag0 == CMD_BEGIN_LAYER)
+                    def _():
+                        ld = jnp.minimum(depth_s[1], MAX_GROUP_DEPTH - 1)
+                        sv_r[ld] = r_s[:]
+                        sv_g[ld] = g_s[:]
+                        sv_b[ld] = b_s[:]
+                        depth_s[1] = ld + 1
 
-        if runs:
-            # ---- run dispatch (W_RUN, see layout/entry_stream.py) -------
-            # A maximal streak of adjacent same-class entries -- plain
-            # fills (+L) or lines (-L) -- interprets under ONE class test:
-            # the inner fori_loop does only the operand reads + vector
-            # math per entry, no tag read and no dispatch branches.  Entry
-            # ORDER is unchanged (the dispatch is hoisted, not the math),
-            # so images are bit-identical to the per-entry path.  Runs are
-            # clamped at the superchunk edge; every entry stores its
-            # REMAINING length, so the next chunk resumes mid-run.
-            def run_cond(j):
-                return j < hi
+                    @pl.when(tag0 == CMD_END_LAYER)
+                    def _():
+                        alpha = s0arg(0)
+                        ld = jnp.maximum(depth_s[1] - 1, 0)
+                        r_s[:] = sv_r[ld] + (r_s[:] - sv_r[ld]) * alpha
+                        g_s[:] = sv_g[ld] + (g_s[:] - sv_g[ld]) * alpha
+                        b_s[:] = sv_b[ld] + (b_s[:] - sv_b[ld]) * alpha
+                        depth_s[1] = ld
 
-            def run_body(j):
-                blk = jax.lax.shift_right_logical(j, 7)
-                lane = j & 127
-                rw = cmds_s[slot, blk, W_RUN, lane]
-                L = jnp.minimum(jnp.abs(rw).astype(jnp.int32), hi - j)
+                    # Gradient resolves (2-stop brush extension): operand
+                    # words ride s0arg(0..11) -- word 8 (W_S1_TAG) carries
+                    # arg 7, legal because the payload there (c0 alpha) is
+                    # in [0,1] and never a valid tag (entry_stream.py).
+                    def _apply_grad(cmd):
+                        r2, g2, b2, _, area2 = cmd(
+                            s0arg, r_s[:], g_s[:], b_s[:], df_s[:], area_s[:])
+                        r_s[:], g_s[:], b_s[:] = r2, g2, b2
+                        area_s[:] = area2
 
-                @pl.when(rw > 0.0)
-                def _():
-                    def fb(k, _):
-                        jj = j + k
-                        b2 = jax.lax.shift_right_logical(jj, 7)
-                        l2 = jj & 127
-                        fill_one(
-                            lambda q: cmds_s[slot, b2, W_S1_ARG + q, l2])
-                        return 0
-                    jax.lax.fori_loop(0, L, fb, 0)
+                    @pl.when(tag0 == CMD_DRAW_LIN_GRAD)
+                    def _():
+                        _apply_grad(grad_lin)
 
-                @pl.when(rw < 0.0)
-                def _():
-                    def lb(k, _):
-                        jj = j + k
-                        b2 = jax.lax.shift_right_logical(jj, 7)
-                        l2 = jj & 127
-                        line_one(
-                            lambda q: cmds_s[slot, b2, W_S0_ARG + q, l2])
-                        return 0
-                    jax.lax.fori_loop(0, L, lb, 0)
+                    @pl.when(tag0 == CMD_DRAW_RAD_GRAD)
+                    def _():
+                        _apply_grad(grad_rad)
 
-                @pl.when(rw == 0.0)
-                def _():
-                    accum_entry(j)
+                    # Winding carry (multi-subpath fill extension): a CONT
+                    # subpath's interior backdrop; resolved by the group's
+                    # final DrawFill.
+                    @pl.when(tag0 == CMD_WIND)
+                    def _():
+                        area_s[:] = area_s[:] + s0arg(0)
 
-                return j + jnp.maximum(L, 1)
+            lo = jnp.where(ci == 0, skip, 0)
+            hi = jnp.minimum(total - ci * SC_ENTRIES, SC_ENTRIES)
 
-            jax.lax.while_loop(run_cond, run_body, lo)
+            if runs:
+                # ---- run dispatch (W_RUN, see layout/entry_stream.py) -------
+                # A maximal streak of adjacent same-class entries -- plain
+                # fills (+L) or lines (-L) -- interprets under ONE class test:
+                # the inner fori_loop does only the operand reads + vector
+                # math per entry, no tag read and no dispatch branches.  Entry
+                # ORDER is unchanged (the dispatch is hoisted, not the math),
+                # so images are bit-identical to the per-entry path.  Runs are
+                # clamped at the superchunk edge; every entry stores its
+                # REMAINING length, so the next chunk resumes mid-run.
+                def run_cond(j):
+                    return j < hi
+
+                def run_body(j):
+                    blk = jax.lax.shift_right_logical(j, 7)
+                    lane = j & 127
+                    rw = cmds_s[slot, blk, W_RUN, lane]
+                    L = jnp.minimum(jnp.abs(rw).astype(jnp.int32), hi - j)
+
+                    @pl.when(rw > 0.0)
+                    def _():
+                        def fb(k, _):
+                            jj = j + k
+                            b2 = jax.lax.shift_right_logical(jj, 7)
+                            l2 = jj & 127
+                            fill_one(
+                                lambda q: cmds_s[slot, b2, W_S1_ARG + q, l2])
+                            return 0
+                        jax.lax.fori_loop(0, L, fb, 0)
+
+                    @pl.when(rw < 0.0)
+                    def _():
+                        def lb(k, _):
+                            jj = j + k
+                            b2 = jax.lax.shift_right_logical(jj, 7)
+                            l2 = jj & 127
+                            line_one(
+                                lambda q: cmds_s[slot, b2, W_S0_ARG + q, l2])
+                            return 0
+                        jax.lax.fori_loop(0, L, lb, 0)
+
+                    @pl.when(rw == 0.0)
+                    def _():
+                        accum_entry(j)
+
+                    return j + jnp.maximum(L, 1)
+
+                jax.lax.while_loop(run_cond, run_body, lo)
+                return 0
+
+            n_live = jnp.maximum(hi - lo, 0)
+
+            def quad_body(q, _):
+                j = lo + q * UNROLL
+                for u in range(UNROLL):
+                    accum_entry(j + u)
+                return 0
+
+            def tail_body(j, _):
+                accum_entry(j)
+                return 0
+
+            full = jax.lax.fori_loop(0, n_live // UNROLL, quad_body, 0)
+            jax.lax.fori_loop(lo + (n_live // UNROLL) * UNROLL, hi, tail_body,
+                              full)
             return 0
 
-        n_live = jnp.maximum(hi - lo, 0)
+        def write(px):
+            px_s[k] = px
 
-        def quad_body(q, _):
-            j = lo + q * UNROLL
-            for u in range(UNROLL):
-                accum_entry(j + u)
-            return 0
+        @pl.when(n == 0)
+        def _():
+            # Empty tile: the present fast path (PietRender.metal:34-44) --
+            # the bail solid's raw sRGB bytes, or the white background.
+            sol = solid_ref[t]
+            px = jnp.where(sol == 0, jnp.uint32(0xFFFFFFFF), sol)
+            write(jnp.full(shp, px, jnp.uint32))
 
-        def tail_body(j, _):
-            accum_entry(j)
-            return 0
+        @pl.when(n > 0)
+        def _():
+            df_s[:] = jnp.full(shp, DF2_INIT, jnp.float32)
+            area_s[:] = jnp.zeros(shp, jnp.float32)
+            r_s[:] = jnp.ones(shp, jnp.float32)
+            g_s[:] = jnp.ones(shp, jnp.float32)
+            b_s[:] = jnp.ones(shp, jnp.float32)
+            cov_s[0] = jnp.ones(shp, jnp.float32)
+            depth_s[0] = 0
+            depth_s[1] = 0
+            jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+            # Cross-tile prefetch: start fetching the next live tile's first
+            # chunk (a no-op when it is already resident -- the common case)
+            # so a chunk-boundary miss overlaps this tile's pack/write and
+            # the next tile's state init.  Drained by that tile's ensure(),
+            # issued under the same n_ref[t + 1] > 0 predicate.
+            @pl.when((t + 1 < n_tiles_total) & (n_ref[t + 1] > 0))
+            def _():
+                prefetch(first_ref[t + 1] // SC_ENTRIES)
 
-        full = jax.lax.fori_loop(0, n_live // UNROLL, quad_body, 0)
-        jax.lax.fori_loop(lo + (n_live // UNROLL) * UNROLL, hi, tail_body,
-                          full)
+            write(pack_rgba8(r_s[:], g_s[:], b_s[:], bar))
         return 0
 
-    def write(px):
+    jax.lax.fori_loop(0, tpb, tile_body, 0)
+    for k in range(tpb):
         if direct:
-            out_ref[...] = px
+            out_ref[:, k * tile_w:(k + 1) * tile_w] = px_s[k]
         else:
-            out_ref[0] = px
+            out_ref[k] = px_s[k]
 
-    @pl.when(n == 0)
-    def _():
-        # Empty tile: the present fast path (PietRender.metal:34-44) --
-        # the bail solid's raw sRGB bytes, or the white background.
-        sol = solid_ref[t]
-        px = jnp.where(sol == 0, jnp.uint32(0xFFFFFFFF), sol)
-        write(jnp.full(shp, px, jnp.uint32))
 
-    @pl.when(n > 0)
-    def _():
-        df_s[:] = jnp.full(shp, DF2_INIT, jnp.float32)
-        area_s[:] = jnp.zeros(shp, jnp.float32)
-        r_s[:] = jnp.ones(shp, jnp.float32)
-        g_s[:] = jnp.ones(shp, jnp.float32)
-        b_s[:] = jnp.ones(shp, jnp.float32)
-        cov_s[0] = jnp.ones(shp, jnp.float32)
-        depth_s[0] = 0
-        depth_s[1] = 0
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-        # Cross-tile prefetch: start fetching the next live tile's first
-        # chunk (a no-op when it is already resident -- the common case)
-        # so a chunk-boundary miss overlaps this tile's pack/write and
-        # the next tile's state init.  Drained by that tile's ensure(),
-        # issued under the same n_ref[t + 1] > 0 predicate.
-        @pl.when((t + 1 < n_tiles_total) & (n_ref[t + 1] > 0))
-        def _():
-            prefetch(first_ref[t + 1] // SC_ENTRIES)
-
-        write(pack_rgba8(r_s[:], g_s[:], b_s[:], bar))
+def _auto_tpb(tiles_x: int) -> int:
+    """Tiles per grid step: the largest divisor of tiles_x <= 8 (a tile
+    row must hold a whole number of output blocks).  Overridable with
+    PIET_FINE_TPB (the on-chip A/B knob)."""
+    env = os.environ.get("PIET_FINE_TPB", "auto")
+    if env != "auto":
+        v = int(env)
+        return v if v >= 1 and tiles_x % v == 0 else 1
+    for v in (8, 6, 5, 4, 3, 2):
+        if tiles_x % v == 0:
+            return v
+    return 1
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "tiles_x",
-                                             "paired", "runs",
+                                             "paired", "runs", "tpb",
                                              "interpret"))
 def fine_rasterize_entries(first: jax.Array, n_entries: jax.Array,
                            solid: jax.Array, stream: jax.Array, row0=0, *,
                            tile_h: int, tile_w: int, tiles_x: int,
                            paired: bool = True,
-                           runs: bool = False,
+                           runs: bool = False, tpb: int = 0,
                            interpret: bool = False) -> jax.Array:
     """Rasterize all tiles from an entry stream (CoarseEntries).
 
@@ -712,26 +743,31 @@ def fine_rasterize_entries(first: jax.Array, n_entries: jax.Array,
     direct = (tile_w % 128 == 0) and (tile_h % 8 == 0)
     if runs and paired:
         raise ValueError("run dispatch requires an unpaired stream")
+    if tpb == 0:
+        tpb = _auto_tpb(tiles_x)
+    if tiles_x % tpb != 0 or n_tiles % tpb != 0:
+        raise ValueError(f"tpb {tpb} must divide tiles_x {tiles_x}")
     kernel = functools.partial(
         _fine_entries_kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
-        direct=direct, paired=paired, runs=runs,
+        tpb=tpb, direct=direct, paired=paired, runs=runs,
         interpret=interpret)
+    xb = tiles_x // tpb
     if direct:
         out_specs = pl.BlockSpec(
-            (tile_h, tile_w),
-            lambda t, f, nn, so, r0: (t // tiles_x, t % tiles_x),
+            (tile_h, tpb * tile_w),
+            lambda s, f, nn, so, r0: (s // xb, s % xb),
             memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct(
             (tiles_y * tile_h, tiles_x * tile_w), jnp.uint32)
     else:
-        out_specs = pl.BlockSpec((1, tile_h, tile_w),
-                                 lambda t, f, nn, so, r0: (t, 0, 0),
+        out_specs = pl.BlockSpec((tpb, tile_h, tile_w),
+                                 lambda s, f, nn, so, r0: (s, 0, 0),
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w),
                                          jnp.uint32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(n_tiles,),
+        grid=(n_tiles // tpb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=out_specs,
         scratch_shapes=[
@@ -752,6 +788,8 @@ def fine_rasterize_entries(first: jax.Array, n_entries: jax.Array,
             # Superchunk residency: [0:4] resident chunk id per slot,
             # [4:8] inflight chunk id per slot (-1 = empty).
             pltpu.SMEM((8,), jnp.int32),
+            # Per-step packed-pixel staging (multi-tile grid blocks).
+            pltpu.VMEM((tpb, tile_h, tile_w), jnp.uint32),
         ],
     )
     # SC_BLOCKS zero blocks of tail padding keep the last superchunk slice
