@@ -604,27 +604,37 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                     rw = cmds_s[slot, blk, W_RUN, lane]
                     L = jnp.minimum(jnp.abs(rw).astype(jnp.int32), hi - j)
 
+                    # Run bodies are 4x unrolled (same entries, same
+                    # order -- bit-identical; loop-carry overhead was a
+                    # measured ~60-70 ns/entry gap between the real
+                    # kernel and the isolated update math,
+                    # tools/fine_entry_bench.py vs arg_delivery_bench).
+                    def one_at(jj, fn, base):
+                        b2 = jax.lax.shift_right_logical(jj, 7)
+                        l2 = jj & 127
+                        fn(lambda q: cmds_s[slot, b2, base + q, l2])
+
+                    def unrolled(fn, base):
+                        def quad(qq, _):
+                            for u in range(UNROLL):
+                                one_at(j + qq * UNROLL + u, fn, base)
+                            return 0
+
+                        def tail(kk, _):
+                            one_at(kk, fn, base)
+                            return 0
+
+                        jax.lax.fori_loop(0, L // UNROLL, quad, 0)
+                        jax.lax.fori_loop(j + (L // UNROLL) * UNROLL,
+                                          j + L, tail, 0)
+
                     @pl.when(rw > 0.0)
                     def _():
-                        def fb(k, _):
-                            jj = j + k
-                            b2 = jax.lax.shift_right_logical(jj, 7)
-                            l2 = jj & 127
-                            fill_one(
-                                lambda q: cmds_s[slot, b2, W_S1_ARG + q, l2])
-                            return 0
-                        jax.lax.fori_loop(0, L, fb, 0)
+                        unrolled(fill_one, W_S1_ARG)
 
                     @pl.when(rw < 0.0)
                     def _():
-                        def lb(k, _):
-                            jj = j + k
-                            b2 = jax.lax.shift_right_logical(jj, 7)
-                            l2 = jj & 127
-                            line_one(
-                                lambda q: cmds_s[slot, b2, W_S0_ARG + q, l2])
-                            return 0
-                        jax.lax.fori_loop(0, L, lb, 0)
+                        unrolled(line_one, W_S0_ARG)
 
                     @pl.when(rw == 0.0)
                     def _():
