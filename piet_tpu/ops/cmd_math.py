@@ -9,16 +9,29 @@ arrays with scalar operands, used by BOTH device implementations:
                       the bit-exact CPU test vehicle).
 
 ``bar`` is a best-effort FMA-contraction barrier: the numpy oracle
-(raster/cpu_fine.py) rounds every multiply and add separately.  On TPU,
-f32 div/sqrt are IEEE correctly rounded, and at 16-row tile shapes
-Mosaic emits uncontracted mul+add, so the device paths are bit-identical
-to the oracle there (verified on hardware; tests/test_tpu_exact.py).  At
-32-row (4-vreg) shapes Mosaic contracts or reorders one mul+add
-somewhere (optimization_barrier has no Pallas TPU lowering to stop it),
-giving <=1 color code on isolated boundary pixels (<0.01%, also pinned
-by test_tpu_exact).  On CPU, XLA's LLVM backend contracts at its own
-discretion, so CPU-side tests compare with a ~1e-5-of-pixels / <=2-code
-tolerance (tests/test_fine.py).
+(raster/cpu_fine.py) rounds every multiply and add separately.  On CPU,
+XLA's LLVM backend contracts at its own discretion, so CPU-side tests
+compare with a ~1e-5-of-pixels / <=2-code tolerance (tests/test_fine.py).
+
+TPU numeric ground truth (measured, tools/mosaic_numerics_probe.py,
+round 4 -- supersedes earlier claims that div/sqrt were IEEE):
+
+* f32 multiply/add/sub, floor, compares, selects and bitcasts are
+  EXACTLY rounded, identical to numpy, and independent of vreg shape;
+  Mosaic does not contract mul+add at any tested tile shape.
+* f32 DIV and SQRT are NOT IEEE-correctly rounded: <= 2 ulp off RN on
+  ~1/3 of inputs (XLA:TPU and Mosaic agree bitwise with each other --
+  the hardware is deterministic and shape-independent, just not equal
+  to numpy's libm).
+
+Exactness policy: resolve-path transcendentals are made structural --
+sqrt via ieee_sqrt (exact-residual candidate selection, = np.sqrt by
+construction) and the sRGB encode via a mul/add/bitcast-only polynomial
+chain (srgb_encode_u32 / scene/color.py::linear_to_srgb_det).  The fill
+and line coverage divisions keep the raw device div: their <= 2 ulp
+noise sits ~1e-7 in coverage, which the 8-bit quantization absorbs
+except on measure-zero boundary inputs (empirical; every on-chip image
+test is bitwise green, tests/test_tpu_exact.py).
 """
 
 from __future__ import annotations
@@ -60,6 +73,45 @@ def _saturate(v):
 # state (and accumulate the SQUARED line field, see line_field_sq).
 
 
+def ieee_sqrt(x, bar):
+    """IEEE-correctly-rounded f32 sqrt on every backend.
+
+    TPU sqrt is NOT correctly rounded (round-4 measurement: <= 2 ulp off
+    RN on ~1/3 of inputs; deterministic, but != numpy), which flips the u8
+    rounding of isolated boundary pixels wherever a resolve consumes a
+    sqrt (radial gradients, stroke distance, circles).  This wrapper makes
+    the device agree with the oracle BY CONSTRUCTION: take the hardware
+    estimate, step +-2 ulp, and pick the candidate minimizing |s^2 - x|
+    with the residual computed exactly (Dekker-split products are exact in
+    f32; hi*hi - x is Sterbenz-exact) -- the result is seed-independent,
+    so numpy's IEEE sqrt trivially lands on the same value and the oracle
+    keeps plain np.sqrt.  ~60 VPU ops; used only in resolve paths (never
+    per fill/line entry -- line distance accumulates SQUARED, see
+    line_field_sq).
+    """
+    f32 = jnp.float32
+    s0 = jnp.sqrt(x)
+    ub = jax.lax.bitcast_convert_type(s0, jnp.uint32)
+    best_s = s0
+    best_a = jnp.full_like(s0, jnp.inf)
+    for delta in (-2, -1, 0, 1, 2):
+        s = jax.lax.bitcast_convert_type(
+            ub + jnp.uint32(delta & 0xFFFFFFFF), f32)
+        c = s * f32(4097.0)              # Dekker split (12 + 12 bits)
+        hi = c - bar(c - s)
+        lo = s - hi
+        # hi*hi, 2*hi*lo, lo*lo are all EXACT f32 products; hi*hi - x is
+        # Sterbenz-exact; the final two adds round ~2^-45 relative --
+        # far below the ~2^-22 inter-candidate gaps.
+        d = (bar(hi * hi) - x) + bar(f32(2.0) * bar(hi * lo)) \
+            + bar(lo * lo)
+        a = jnp.abs(d)
+        take = a < best_a
+        best_s = jnp.where(take, s, best_s)
+        best_a = jnp.where(take, a, best_a)
+    return jnp.where(x > 0.0, best_s, s0)
+
+
 def line_field_sq(arg, X, Y, bar):
     """SQUARED distance field of CmdLine (PietRender.metal:79-97).
 
@@ -83,7 +135,7 @@ def line_field_sq(arg, X, Y, bar):
 
 def line_field(arg, X, Y, bar):
     """Distance field of CmdLine over pixel grids (PietRender.metal:79-97)."""
-    return jnp.sqrt(line_field_sq(arg, X, Y, bar))
+    return ieee_sqrt(line_field_sq(arg, X, Y, bar), bar)
 
 
 def fill_delta(arg, X, Y, bar):
@@ -159,7 +211,7 @@ def make_commands(X, Y, bar, cov=None):
         cy = by0 + 0.5 * (by1 - by0)
         dx = X - cx
         dy = Y - cy
-        rad = jnp.sqrt(bar(dx * dx) + bar(dy * dy))
+        rad = ieee_sqrt(bar(dx * dx) + bar(dy * dy), bar)
         circle_r = jnp.minimum(cx - bx0, cy - by0)
         alpha = _saturate(circle_r - rad) * clip_cov(arg) * cov()
         # Blend toward black: color is never encoded for circles
@@ -235,7 +287,7 @@ def make_grad_commands(X, Y, bar, cov=None):
             if radial:
                 dx = X - arg(1)
                 dy = Y - arg(2)
-                t = _saturate(jnp.sqrt(bar(dx * dx) + bar(dy * dy))
+                t = _saturate(ieee_sqrt(bar(dx * dx) + bar(dy * dy), bar)
                               * arg(3))
             else:
                 t = _saturate(bar(arg(1) * X) + bar(arg(2) * Y) + arg(3))
@@ -260,25 +312,34 @@ def srgb_encode_u32(ch, bar):
 
     Mirrors scene/color.py::linear_to_srgb_det operation-for-operation (see
     there for the precision-policy rationale); keep the three in sync.
+    x^(1/2.4) is 2^(log2(x)/2.4) with bit-level exponent/mantissa split and
+    polynomial log2/exp2: ONLY mul/add/floor/compare/bitcast, all exactly
+    rounded and shape-independent on TPU (tools/mosaic_numerics_probe.py)
+    -- device sqrt/div are NOT IEEE-correctly rounded (round-4 finding),
+    so the previous sqrt+Newton chain flipped boundary-pixel codes.
     """
+    from ..scene.color import SRGB_PE, SRGB_PL
+    f32 = jnp.float32
+    i32 = jnp.int32
     ch = jnp.clip(ch, 0.0, 1.0)
-    x2 = ch * ch
-    x4 = x2 * x2
-    y = x4 * ch                     # x^5
-    t1 = jnp.sqrt(y)
-    t2 = jnp.sqrt(t1)
-    t3 = jnp.sqrt(t2)
-    t4 = jnp.sqrt(t3)
-    t5 = jnp.sqrt(t4)
-    rt = t2 * t4 * t5               # y^(11/32): cbrt seed
-    third = jnp.float32(1.0 / 3.0)
-    for _ in range(4):              # Newton for y^(1/3)
-        rr = rt * rt
-        q = y / rr
-        rt = (rt + rt + q) * third
-    p = jnp.sqrt(jnp.sqrt(rt))      # x^(1/2.4)
-    hi = bar(jnp.float32(1.055) * p) - jnp.float32(0.055)
-    lo = ch * jnp.float32(12.92)
+    lo = ch * f32(12.92)
+    u = jax.lax.bitcast_convert_type(ch, jnp.uint32)
+    e = (jax.lax.shift_right_logical(u, jnp.uint32(23)).astype(i32)
+         - 127).astype(f32)
+    m = jax.lax.bitcast_convert_type(
+        (u & jnp.uint32(0x007FFFFF)) | jnp.uint32(0x3F800000), f32)
+    acc = jnp.full_like(m, f32(SRGB_PL[0]))
+    for c in SRGB_PL[1:]:
+        acc = bar(acc * m) + f32(c)
+    t = (e + acc) * f32(1.0 / 2.4)
+    k = jnp.floor(t)
+    fr = t - k
+    s = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(k.astype(i32) + 127, i32(23)), f32)
+    pe = jnp.full_like(fr, f32(SRGB_PE[0]))
+    for c in SRGB_PE[1:]:
+        pe = bar(pe * fr) + f32(c)
+    hi = bar(f32(1.055) * (s * pe)) - f32(0.055)
     srgb = jnp.where(ch < 0.0031308, lo, hi)
     # Mosaic has no direct f32->u32 cast; values are in [0, 255] so
     # rounding through i32 is exact.

@@ -24,11 +24,13 @@ Memory plumbing (the TPU analog of the reference's per-thread PTCL reads):
   VPU ops with scalar operands.
 
 The math matches raster/cpu_fine.py bit-for-bit on TPU hardware (f32
-policy; precision story in ops/cmd_math.py): Mosaic does not contract
-mul+add chains and div/sqrt are IEEE-exact, so kernel output is
-bit-identical to the numpy oracle (tests/test_tpu_exact.py).  Under the
-interpreter on CPU, XLA:CPU's LLVM backend may contract, giving a
-documented <=2-code tolerance (tests/test_fine.py).
+policy; full precision story in ops/cmd_math.py): Mosaic's mul/add are
+exactly rounded at every tile shape, resolve-path sqrt rides ieee_sqrt
+and the sRGB encode is a mul/add-only polynomial chain (device sqrt/div
+are NOT IEEE -- round-4 measurement), so kernel output is bit-identical
+to the numpy oracle (tests/test_tpu_exact.py).  Under the interpreter on
+CPU, XLA:CPU's LLVM backend may contract, giving a documented <=2-code
+tolerance (tests/test_fine.py).
 """
 
 from __future__ import annotations
@@ -51,8 +53,8 @@ from ..scene.scene import MAX_GROUP_DEPTH
 from ..raster.ptcl import CMD_DRAW_LIN_GRAD, CMD_DRAW_RAD_GRAD
 from ..raster.ptcl import CMD_WIND
 from .cmd_math import (DF2_INIT, DF_INIT, clip_alpha, edge_delta, fill_delta,
-                       line_field_sq, make_commands, make_grad_commands,
-                       pack_rgba8)
+                       ieee_sqrt, line_field_sq, make_commands,
+                       make_grad_commands, pack_rgba8)
 
 # Commands DMA'd per double-buffer slot: 128 tags (512 B) + 128xARG_WORDS
 # f32 operands -- small enough for SMEM, and chunk boundaries stay
@@ -67,12 +69,12 @@ def _fine_kernel(counts_ref, row0_ref, cmds_hbm, out_ref, cmds_s, sems, *,
         bar = jax.lax.optimization_barrier  # best-effort (see cmd_math.py)
     else:
         def bar(x):
-            # Mosaic: identity (optimization_barrier has no TPU lowering).
-            # At 16-row tiles the kernel is bit-exact vs the oracle; at
-            # 32-row (4-vreg) shapes Mosaic's codegen contracts or
-            # reorders a mul+add somewhere, giving <=1 color code on
-            # isolated boundary pixels (measured: 2 px / 65536 on the
-            # round-1 kernel too -- pre-existing, see test_tpu_exact).
+            # Mosaic: identity (optimization_barrier has no TPU
+            # lowering; also unnecessary -- Mosaic emits uncontracted,
+            # exactly-rounded mul+add at every tested tile shape, and the
+            # former 32-row divergence was the non-IEEE device sqrt/div
+            # reaching the u8 rounding, fixed structurally in round 4 --
+            # see ops/cmd_math.py precision policy).
             return x
 
     t = pl.program_id(0)
@@ -250,12 +252,12 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
         bar = jax.lax.optimization_barrier  # best-effort (see cmd_math.py)
     else:
         def bar(x):
-            # Mosaic: identity (optimization_barrier has no TPU lowering).
-            # At 16-row tiles the kernel is bit-exact vs the oracle; at
-            # 32-row (4-vreg) shapes Mosaic's codegen contracts or
-            # reorders a mul+add somewhere, giving <=1 color code on
-            # isolated boundary pixels (measured: 2 px / 65536 on the
-            # round-1 kernel too -- pre-existing, see test_tpu_exact).
+            # Mosaic: identity (optimization_barrier has no TPU
+            # lowering; also unnecessary -- Mosaic emits uncontracted,
+            # exactly-rounded mul+add at every tested tile shape, and the
+            # former 32-row divergence was the non-IEEE device sqrt/div
+            # reaching the u8 rounding, fixed structurally in round 4 --
+            # see ops/cmd_math.py precision policy).
             return x
 
     # Multi-tile grid blocks: one grid step interprets ``tpb``
@@ -499,7 +501,7 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                 @pl.when(tag0 == CMD_STROKE)
                 def _():
                     # Un-square the accumulated field (exact; see above).
-                    df = jnp.sqrt(df_s[:])
+                    df = ieee_sqrt(df_s[:], bar)
                     r2, g2, b2, _, _ = cmds[3](s0arg, r_s[:], g_s[:], b_s[:],
                                                df, area_s[:])
                     r_s[:], g_s[:], b_s[:] = r2, g2, b2

@@ -390,6 +390,7 @@ class Renderer:
 
     def render_u32(self, scene: Scene) -> jax.Array:
         dev = prepare_scene(scene, self.config)
+        self._staged_dev = dev  # partial-restage base (render_updated)
         img, stats = self._render(dev)
         self.last_stats = jax.tree.map(lambda x: np.asarray(x), stats)
         self._check_capacity(self.last_stats)
@@ -419,6 +420,57 @@ class Renderer:
             {k: v.sum() for k, v in self.last_stats.items()})
         return imgs.view(np.uint8).reshape(
             len(scenes), self.config.height, self.config.width, 4)
+
+    #: DeviceScene fields eligible for partial restaging, keyed by the
+    #: Scene attribute that sources them.
+    _DYNAMIC_FIELDS = ("points", "colors", "bboxes", "widths", "grads",
+                       "clips", "flags")
+
+    def render_updated(self, scene: Scene,
+                       fields=("points", "colors", "bboxes")) -> jax.Array:
+        """Incremental re-render: restage ONLY ``fields`` of the staged
+        scene (dirty-field update), reusing every other device array.
+
+        The host-side analog of the reference's static-scene frame loop
+        (PietRenderer.m:59-103 re-renders without re-encoding): an
+        animation that mutates geometry/colors but not topology transfers
+        points + colors + bboxes (~KBs) instead of the full wire buffer.
+        Topology fields (tags, offsets, counts, n_items) must be
+        unchanged since the last full render_u32/render call.  For
+        fixture-style parametric animation prefer scene/animate.py, which
+        moves even this transfer into the jit."""
+        base = getattr(self, "_staged_dev", None)
+        if base is None:
+            return self.render_u32(scene)
+        dev = base
+        cfg = self.config
+
+        def pad(arr, n):
+            out = np.zeros((n,) + arr.shape[1:], arr.dtype)
+            out[:arr.shape[0]] = arr
+            return out
+
+        for f in fields:
+            if f not in self._DYNAMIC_FIELDS:
+                raise ValueError(f"field {f!r} is not restageable")
+            if f == "points":
+                dev = dev._replace(points=jnp.asarray(
+                    pad(scene.points, cfg.max_points)))
+            elif f == "colors":
+                from ..scene.color import decode_color_linear
+                dev = dev._replace(
+                    colors_u32=jnp.asarray(pad(scene.colors,
+                                               cfg.max_items)),
+                    colors_lin=jnp.asarray(pad(
+                        decode_color_linear(scene.colors), cfg.max_items)))
+            else:
+                dev = dev._replace(**{f: jnp.asarray(
+                    pad(getattr(scene, f), cfg.max_items))})
+        self._staged_dev = dev
+        img, stats = self._render(dev)
+        self.last_stats = jax.tree.map(lambda x: np.asarray(x), stats)
+        self._check_capacity(self.last_stats)
+        return img
 
     def _check_capacity(self, stats: Dict) -> None:
         for k in ("seg_overflow", "hit_overflow", "cand_overflow",

@@ -91,43 +91,62 @@ def srgb_decode_table() -> np.ndarray:
 _SRGB_DECODE_TABLE = srgb_decode_table()
 
 
+#: Canonical sRGB-encode polynomial coefficients (Horner order, highest
+#: first), stored as exact f32 bit patterns.  PL approximates log2(m) over
+#: m in [1, 2] (Chebyshev degree 8), PE approximates 2^f over f in [0, 1]
+#: (degree 5); end-to-end curve error of the full f32 chain vs true sRGB
+#: is < 4.4e-6 (~0.0011 of a u8 code), measured over 300k points.
+_SRGB_PL_BITS = (0xbc11672d, 0x3df85f12, 0xbf3c26e2, 0x40265a14,
+                 0xc0be1d92, 0x41133b6a, 0xc11f25ba, 0x41021532,
+                 0xc05af24e)
+_SRGB_PE_BITS = (0x3af86540, 0x3c129325, 0x3d64d0e6, 0x3e75e776,
+                 0x3f317295, 0x3f7ffffe)
+SRGB_PL = np.array(_SRGB_PL_BITS, np.uint32).view(np.float32)
+SRGB_PE = np.array(_SRGB_PE_BITS, np.uint32).view(np.float32)
+
+
 def linear_to_srgb_det(v: np.ndarray) -> np.ndarray:
     """Deterministic linear -> sRGB encode: the piet-tpu precision policy.
 
-    Same piecewise curve as `linear_to_srgb`, but ``x^(1/2.4)`` is computed
-    as ``sqrt(sqrt(cbrt(x^5)))`` with a square-root-chain seed and four
-    Newton steps for the cube root.  Every operation (mul/add/div/sqrt) is
-    IEEE-754 correctly rounded in f32, so numpy, the Pallas fine kernel
-    (ops/fine.py) and the C++ golden rasterizer produce bit-identical
-    results -- unlike ``pow``, whose last-ulp behavior is libm-specific and
-    flips the u8 rounding of ~1e-5 of pixels (measured) at code boundaries.
-    Accuracy vs the true curve is < 1e-6 absolute, far below the u8
-    quantization step.
+    Same piecewise curve as `linear_to_srgb`, but ``x^(1/2.4)`` is
+    evaluated as ``2^(log2(x)/2.4)`` with the exponent/mantissa split done
+    by BIT operations and both transcendentals by fixed-order Horner
+    polynomials -- the chain uses ONLY multiply, add, floor, compare and
+    bitcast.  f32 multiply/add are correctly rounded on every backend we
+    target (numpy/x86, XLA:CPU with contraction barriers, and the TPU VPU
+    -- pinned by tools/mosaic_numerics_probe.py), and floor/bitcast are
+    exact, so numpy, the Pallas fine kernel and the C++ golden rasterizer
+    are bit-identical BY CONSTRUCTION.
 
-    Any change here must be mirrored in ops/fine.py::_srgb_encode_u8 and
-    the generated piet_srgb_encode (layout/emit_cpp.py).
+    The previous sqrt+Newton chain relied on device div/sqrt being
+    IEEE-correctly rounded -- measured FALSE on TPU (round 4: both are
+    <= 2 ulp off on ~34% of inputs; deterministic and shape-independent,
+    but not equal to numpy), which flipped the u8 rounding of isolated
+    boundary pixels (the round-3 32-row and gradient-demo divergences).
+
+    Any change here must be mirrored in ops/cmd_math.py::srgb_encode_u32
+    and the generated piet_srgb::encode (layout/emit_cpp.py).
     """
     f = np.float32
-    v = np.clip(np.asarray(v, dtype=f), f(0.0), f(1.0))
-    with np.errstate(divide="ignore", invalid="ignore"):
-        x2 = v * v
-        x4 = x2 * x2
-        y = x4 * v                      # x^5; >= 3e-13 on the branch taken
-        t1 = np.sqrt(y)
-        t2 = np.sqrt(t1)                # y^(1/4)
-        t3 = np.sqrt(t2)
-        t4 = np.sqrt(t3)                # y^(1/16)
-        t5 = np.sqrt(t4)                # y^(1/32)
-        r = t2 * t4 * t5                # y^(11/32): cbrt seed, <27% error
-        third = f(1.0 / 3.0)
-        for _ in range(4):              # Newton for r = y^(1/3)
-            rr = r * r
-            q = y / rr
-            r = (r + r + q) * third
-        p = np.sqrt(np.sqrt(r))         # x^(5/12) = x^(1/2.4)
-        hi = f(1.055) * p - f(0.055)
+    shape = np.shape(v)
+    v = np.ascontiguousarray(
+        np.atleast_1d(np.clip(np.asarray(v, dtype=f), f(0.0), f(1.0))))
     lo = v * f(12.92)
-    return np.where(v < f(0.0031308), lo, hi).astype(f)
+    u = v.view(np.uint32)
+    e = ((u >> 23).astype(np.int32) - 127).astype(f)
+    m = ((u & 0x007FFFFF) | 0x3F800000).view(f)
+    acc = np.full_like(m, SRGB_PL[0])
+    for c in SRGB_PL[1:]:
+        acc = acc * m + c
+    t = (e + acc) * f(1.0 / 2.4)
+    k = np.floor(t)
+    fr = (t - k).astype(f)
+    s = ((k.astype(np.int32) + 127) << 23).view(f)
+    pe = np.full_like(fr, SRGB_PE[0])
+    for c in SRGB_PE[1:]:
+        pe = pe * fr + c
+    hi = f(1.055) * (s * pe) - f(0.055)
+    return np.where(v < f(0.0031308), lo, hi).astype(f).reshape(shape)
 
 
 def srgb_encode_u8(v: np.ndarray) -> np.ndarray:

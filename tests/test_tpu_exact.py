@@ -1,9 +1,11 @@
 """Real-TPU bit-exactness: the Pallas fine kernel vs the CPU oracle.
 
-Mosaic's TPU lowering does not contract mul+add into FMAs and its f32
-div/sqrt are IEEE correctly rounded, so on real hardware the production
-kernel must reproduce the numpy oracle bit-for-bit (the deterministic sRGB
-encode removes the last libm dependency; see scene/color.py).
+Mosaic's f32 mul/add are exactly rounded at every tile shape (measured,
+tools/mosaic_numerics_probe.py); device sqrt/div are NOT IEEE (<= 2 ulp
+off RN on ~1/3 of inputs), so the resolve paths use ieee_sqrt and the
+mul/add-only polynomial sRGB encode (ops/cmd_math.py precision policy).
+With those structural, the production kernel must reproduce the numpy
+oracle bit-for-bit.
 
 Skipped when no TPU is attached (CI runs on CPU; the interpreter-mode
 variant with its documented FMA tolerance lives in test_fine.py).
