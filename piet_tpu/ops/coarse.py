@@ -255,7 +255,14 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     probes = {}
 
     def stage_probe(name, *vals):
-        if with_probes:
+        if with_probes == "arrays":
+            # Debug capture: the RAW stage arrays land in diag["probes"]
+            # (engine-bisect vehicle -- f32 probe SUMS of large arrays
+            # alias real divergences into reduction-order noise, round-4
+            # finding).  Test/probe only: big, and defeats fusion.
+            for i, v in enumerate(vals):
+                probes[f"{name}:{i}"] = v
+        elif with_probes:
             probes[name] = sum(jnp.sum(v, dtype=jnp.float32) for v in vals)
 
     item_ids = jnp.arange(NI, dtype=jnp.int32)
