@@ -28,7 +28,8 @@ for t in test_fine_kernel_bit_exact_on_tpu \
          test_clip_layer_scene_exact_on_tpu \
          test_gradient_scene_exact_on_tpu \
          test_engine_path_bit_identical_on_tpu; do
-  timeout 2400 python -m pytest "tests/test_tpu_exact.py::$t" -q \
+  timeout 2400 env PIET_TESTS_TPU=1 \
+    python -m pytest "tests/test_tpu_exact.py::$t" -q \
     >> "$LOG" 2>&1 || say "exactness $t FAILED/TIMEOUT"
 done
 ckpt "On-chip r4: exactness suite"
