@@ -85,7 +85,8 @@ def _roofline_split(scene, cfg, stats, total_ms):
     from piet_tpu.ops.coarse import coarse_rasterize
     from piet_tpu.ops.fine import fine_rasterize_entries
     from piet_tpu.renderer.renderer import (_solid_to_present_u32,
-                                            hitfuse_choice, prepare_scene)
+                                            expand_choice, hitfuse_choice,
+                                            prepare_scene)
     from piet_tpu.ops.pairing import pair_mode_from_env
     from piet_tpu.roofline import frame_roofline
 
@@ -96,7 +97,7 @@ def _roofline_split(scene, cfg, stats, total_ms):
               max_hits=cfg.max_hits, max_candidates=cfg.max_candidates,
               max_deltas=cfg.max_deltas, output="entries",
               sort_impl="pallas",
-              expand_impl=os.environ.get("PIET_EXPAND_IMPL", "xla"),
+              expand_impl=expand_choice(cfg, "pallas", False),
               hitfuse=hitfuse_choice(cfg, "pallas", False),
               pair=pair_mode_from_env())
 

@@ -72,25 +72,44 @@ from .keyed import keyed_sum, keyed_sum_xla
 from .pairing import pair_entries
 from .sort import stable_sort_multi
 
-#: The coarse pass's three opt-in MXU/Pallas engines.
+#: The coarse pass's opt-in MXU/Pallas engines.
 ENGINES = frozenset({"expand", "keyed", "gatherm"})
+#: What the "pallas" convenience alias enables.  gatherm is EXCLUDED:
+#: combining it with the expansion engine in one executable corrupts a
+#: downstream XLA scatter on real hardware (round 4, deterministic 698
+#: wrong cand_emit sums with bit-identical materialized inputs; survives
+#: fully synchronous engine DMA and explicit input barriers -- an
+#: upstream XLA:TPU buffer/codegen bug, minimal repro
+#: tools/eng_array_probe.py).  Every SUPPORTED combination is pinned
+#: bit-identical to the XLA path on chip (tools/eng_bisect_probe.py).
+ENGINES_DEFAULT = frozenset({"expand", "keyed"})
 
 
 def engine_set(expand_impl: str) -> tuple[frozenset, bool]:
     """Parse an ``expand_impl`` string into (enabled engines, interpret).
 
-    "xla" -> none; "pallas" -> all three; "pallas_interpret" -> all three
-    in Mosaic interpret mode (the CPU test vehicle); "pallas:a,b" -> a
-    subset by name -- the on-chip bisect vehicle (tools/engine_probe.py).
+    "xla" -> none; "pallas" -> the supported default set (expand, keyed);
+    "pallas_interpret" -> same in Mosaic interpret mode (the CPU test
+    vehicle); "pallas:a,b" -> a subset by name -- the on-chip bisect
+    vehicle (tools/eng_bisect_probe.py).  The expand+gatherm combination
+    is rejected (see ENGINES_DEFAULT).
     """
     if expand_impl in ("pallas", "pallas_interpret"):
-        return ENGINES, expand_impl == "pallas_interpret"
+        return ENGINES_DEFAULT, expand_impl == "pallas_interpret"
+    interp = expand_impl.startswith("pallas_interpret:")
+    if interp:
+        expand_impl = "pallas:" + expand_impl[len("pallas_interpret:"):]
     if expand_impl.startswith("pallas:"):
         sub = frozenset(filter(None, expand_impl[7:].split(",")))
         unknown = sub - ENGINES
         if unknown:
             raise ValueError(f"unknown coarse engines: {sorted(unknown)}")
-        return sub, False
+        if {"expand", "gatherm"} <= sub:
+            raise ValueError(
+                "expand+gatherm in one executable corrupts a downstream "
+                "XLA scatter on TPU (measured, round 4; see "
+                "ops/coarse.py::ENGINES_DEFAULT) -- use them separately")
+        return sub, interp
     return frozenset(), False
 
 
@@ -401,9 +420,20 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
             scene.points, (i0_g, j1_g), interpret=eng_interp)
         p1e = jnp.where(wrap[:, None], sitem_f[:, 12:14], p1n)
     else:
-        i1 = jnp.where(wrap, s_ptoff, i0 + 1)
-        p0e = scene.points[jnp.clip(i0, 0, np_max)]
-        p1e = scene.points[jnp.clip(i1, 0, np_max)]
+        # ONE row gather delivers both endpoints: pair_rows[k] =
+        # (pt_k, pt_{k+1}), p1 from the +1 column, the fill wrap-around
+        # from the carried per-item first point (bit-identical to
+        # points[where(wrap, ptoff, i0+1)] -- the carried word IS
+        # points[ptoff]).  Two separate 2-word-row gathers measured
+        # 5.1 ms at beziers_10k's 203k segments (round-4 profile,
+        # seg_points); row-gather cost is per ROW, so pairing halves it
+        # and the wider row vectorizes better.
+        nxt = jnp.concatenate([scene.points[1:], scene.points[-1:]],
+                              axis=0)
+        pair_rows = jnp.concatenate([scene.points, nxt], axis=1)
+        pr = pair_rows[jnp.clip(i0, 0, np_max)]
+        p0e = pr[:, 0:2]
+        p1e = jnp.where(wrap[:, None], sitem_f[:, 12:14], pr[:, 2:4])
     # Dead slots zero on BOTH paths so every downstream word (and the
     # profiler's stage probes) is impl-independent.
     p0, p1 = _db(jnp.where(seg_valid[:, None], p0e, 0.0),
@@ -646,11 +676,26 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         # its item's candidate range [cand_excl, cand_excl + bh * bw) -- both
         # ends monotone across hits (dead suffix pinned at the cap).
         h_cand_end = hi[:, 5] + (hi[:, 9] - hi[:, 6] + 1) * hi[:, 7]
-        cand_emit = ksum(
-            hit_n_cmds.astype(f32)[:, None], h_cand,
-            jnp.where(hit_valid, hi[:, 5], max_candidates),
-            jnp.where(hit_valid, h_cand_end, max_candidates + 1),
-            max_candidates)[:, 0].astype(jnp.int32)
+        kv = hit_n_cmds.astype(f32)[:, None]
+        kk = h_cand
+        klo = jnp.where(hit_valid, hi[:, 5], max_candidates)
+        khi = jnp.where(hit_valid, h_cand_end, max_candidates + 1)
+        if os.environ.get("PIET_KSUM_BARRIER", "0") == "1":
+            # expand+gatherm interaction-bug isolator (round 4): pin the
+            # ksum inputs' liveness with an explicit barrier.
+            kv, kk, klo, khi = jax.lax.optimization_barrier(
+                (kv, kk, klo, khi))
+        cand_emit = ksum(kv, kk, klo, khi,
+                         max_candidates)[:, 0].astype(jnp.int32)
+        if with_probes == "arrays":
+            # Interaction-bug differential (round 4): the same sum via an
+            # int32 scatter-add, plus the scatter's materialized inputs.
+            k2 = jnp.where((kk >= 0) & (kk < max_candidates), kk,
+                           max_candidates)
+            alt = (jnp.zeros((max_candidates + 1,), jnp.int32)
+                   .at[k2].add(hit_n_cmds))[:max_candidates]
+            stage_probe("cand_emit_alt", alt)
+            stage_probe("cand_emit_inputs", kv, kk.astype(f32))
 
     # ---- winding deltas (backdrop) ------------------------------------
     stage_probe("cand_emit", cand_emit)

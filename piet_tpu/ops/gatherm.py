@@ -36,6 +36,7 @@ this is the TPU-native equivalent of those loads.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +49,7 @@ BLK = 1024
 WIN = 512
 
 
-def _make_kernel(n_streams: int):
+def _make_kernel(n_streams: int, sync_dma: bool):
     def kernel(lo_ref, nsub_ref, idx_ref, rows_hbm, *rest):
         outs = rest[:n_streams]
         wbuf, sems = rest[n_streams], rest[n_streams + 1]
@@ -63,15 +64,22 @@ def _make_kernel(n_streams: int):
                 rows_hbm.at[pl.ds(start, WIN), :], wbuf.at[slot],
                 sems.at[slot])
 
-        @pl.when(b == 0)
-        def _():
-            dma(0, 0, 0).start()
+        if sync_dma:
+            # Diagnostic mode (PIET_ENGINE_SYNC_DMA): no cross-block
+            # prefetch pipelining -- each block fetches its own window
+            # synchronously (the expand+gatherm interaction-bug isolator).
+            dma(b % 2, b, 0).start()
+            dma(b % 2, b, 0).wait()
+        else:
+            @pl.when(b == 0)
+            def _():
+                dma(0, 0, 0).start()
 
-        dma(b % 2, b, 0).wait()
+            dma(b % 2, b, 0).wait()
 
-        @pl.when(b + 1 < nb)
-        def _():
-            dma((b + 1) % 2, b + 1, 0).start()
+            @pl.when(b + 1 < nb)
+            def _():
+                dma((b + 1) % 2, b + 1, 0).start()
 
         def accum(slot, sub, k):
             base = lo_ref[b] + sub * WIN
@@ -166,8 +174,9 @@ def gather_monotone(rows: jax.Array, idxs: tuple, *,
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
+    sync = "gatherm" in os.environ.get("PIET_ENGINE_SYNC_DMA", "")
     outs = pl.pallas_call(
-        _make_kernel(K),
+        _make_kernel(K, sync),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((p_pad, 128), jnp.float32)] * K,
         interpret=interpret,

@@ -30,7 +30,7 @@ import numpy as np
 from .config import RenderConfig
 from .ops.coarse import coarse_rasterize
 from .ops.pairing import pair_mode_from_env
-from .renderer.renderer import hitfuse_choice
+from .renderer.renderer import expand_choice, hitfuse_choice
 from .ops.fine import fine_rasterize_entries
 from .renderer.renderer import (_resolve_fine_impl, _solid_to_present_u32,
                                 make_render_fn, prepare_scene)
@@ -146,9 +146,7 @@ def profile_render(scene, config: RenderConfig, *, fine_impl: str = "auto",
               sort_impl=("pallas" if impl == "pallas" and not interpret
                          else "xla"),
               # Same env-gated defaults as the renderer: profile what runs.
-              expand_impl=(os.environ.get("PIET_EXPAND_IMPL", "xla")
-                           if impl == "pallas" and not interpret
-                           else "xla"),
+              expand_impl=expand_choice(config, impl, interpret),
               hitfuse=hitfuse_choice(config, impl, interpret),
               pair=pair_mode_from_env())
 

@@ -162,6 +162,29 @@ def _resolve_fine_impl(fine_impl: str) -> str:
 #: every record-heavy BASELINE config.
 HITFUSE_MIN_HITS = 8192
 
+#: Segment-capacity gate for the MXU expansion engine: the engine
+#: accelerates expansions whose SOURCE side is record-heavy (round-4
+#: on-chip A/B: beziers_10k at 203k segments 32.4 -> 30.3 ms with
+#: PIET_EXPAND_IMPL=pallas:expand, while tiger_4k at 45k segments
+#: regresses 6.59 -> 6.86).  Fitted capacities sit far from the
+#: boundary on every BASELINE config.
+EXPAND_MIN_SEGMENTS = 1 << 17
+
+
+def expand_choice(config: RenderConfig, fine_impl: str,
+                  interpret: bool) -> str:
+    """Resolve the coarse engine knob: PIET_EXPAND_IMPL overrides;
+    default auto-gates the expansion engine by the fitted segment
+    capacity (static, compile-time).  Shared with the profiler."""
+    if fine_impl != "pallas" or interpret:
+        return "xla"
+    env = os.environ.get("PIET_EXPAND_IMPL", "auto")
+    if env != "auto":
+        return env
+    if config.max_segments >= EXPAND_MIN_SEGMENTS:
+        return "pallas:expand"
+    return "xla"
+
 
 def hitfuse_choice(config: RenderConfig, fine_impl: str,
                    interpret: bool) -> str:
@@ -199,15 +222,13 @@ def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
         # elsewhere -- jax.default_backend() is not trustworthy when the
         # TPU plugin is registered but the session is pinned to CPU (the
         # multichip dryrun), so the decision rides on fine_impl.
-        # The MXU expansion/keyed-sum engines (ops/expand.py, ops/keyed.py)
-        # are opt-in (PIET_EXPAND_IMPL=pallas): bit-identical, but measured
-        # SLOWER in-pipeline at 4K tiger (12.5 vs 8.9 ms coarse) -- the
-        # XLA scatter+cummax path wins once attributes ride packed rows.
+        # The MXU engines (ops/expand.py, ops/keyed.py, ops/gatherm.py)
+        # are bit-identical to XLA on every SUPPORTED set; the expansion
+        # engine auto-enables on record-heavy configs where it measures
+        # faster (expand_choice; round-4 on-chip A/B).
         sort_impl=("pallas" if fine_impl == "pallas" and not interpret
                    else "xla"),
-        expand_impl=(os.environ.get("PIET_EXPAND_IMPL", "xla")
-                     if fine_impl == "pallas" and not interpret
-                     else "xla"),
+        expand_impl=expand_choice(config, fine_impl, interpret),
         # Fused hit-record kernel (ops/hitfuse.py): expansion + exact
         # tests + entry-row assembly in one Pallas pass (PIET_HITFUSE=0
         # opts out, =1 forces on; entries output only, real TPU only).

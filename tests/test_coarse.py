@@ -119,12 +119,16 @@ def test_sort_fallback_unpacked_keys():
     assert_ptcl_equal(out, gold, cfg)
 
 
-def test_engine_path_bit_identical_entries():
-    """The Pallas engine path (expansion + keyed sums + monotone gathers,
-    interpret mode) must produce a bit-identical entry stream to the XLA
-    path -- exercises ops/expand.py, ops/keyed.py, AND ops/gatherm.py
-    (segment endpoints via the monotone i0/i0+1 streams + carried
-    wrap-around first point, and the backdrop row-start base)."""
+@pytest.mark.parametrize("impl", ["pallas_interpret",
+                                  "pallas_interpret:gatherm"])
+def test_engine_path_bit_identical_entries(impl):
+    """Every SUPPORTED Pallas engine set (interpret mode) must produce a
+    bit-identical entry stream to the XLA path -- "pallas" (expansion +
+    keyed sums, incl. pairing compaction) plus gatherm alone (segment
+    endpoints via the monotone i0/i0+1 streams + carried wrap-around
+    first point, and the backdrop row-start base).  The expand+gatherm
+    COMBINATION is rejected by engine_set (round-4 hardware finding; see
+    ops/coarse.py::ENGINES_DEFAULT)."""
     cfg = RenderConfig(width=224, height=224, tile_height=16,
                        tile_width=128, cmd_capacity=2688, max_items=512,
                        max_points=1 << 15, max_segments=1 << 15,
@@ -138,7 +142,7 @@ def test_engine_path_bit_identical_entries():
               max_hits=cfg.max_hits, max_candidates=cfg.max_candidates,
               max_deltas=cfg.max_deltas, output="entries")
     ref = coarse_rasterize(dev, expand_impl="xla", **kw)
-    eng = coarse_rasterize(dev, expand_impl="pallas_interpret", **kw)
+    eng = coarse_rasterize(dev, expand_impl=impl, **kw)
     for name in ("stream", "first", "n_entries", "counts", "solid"):
         a = np.asarray(getattr(ref, name))
         b = np.asarray(getattr(eng, name))

@@ -194,16 +194,29 @@ def test_gradient_scene_exact_on_tpu():
 
 
 def test_engine_path_bit_identical_on_tpu():
-    """The Pallas MXU engines (expansion, keyed sums, monotone gathers,
-    pairing compaction) vs the XLA path ON HARDWARE: the interpret-mode
-    equality (tests/test_coarse.py) re-pinned where the real MXU
-    bf16-quarter transport runs."""
+    """Every SUPPORTED Pallas MXU engine set (the "pallas" default =
+    expansion + keyed sums, incl. pairing compaction) vs the XLA path ON
+    HARDWARE: the interpret-mode equality (tests/test_coarse.py)
+    re-pinned where the real MXU bf16-quarter transport runs.
+
+    The expand+gatherm combination is NOT in the supported surface: it
+    deterministically corrupts a downstream XLA scatter in the same
+    executable (round-4 bisect, tools/eng_bisect_probe.py /
+    eng_array_probe.py -- bit-identical materialized inputs, wrong sums;
+    survives synchronous DMA and input barriers).  engine_set() rejects
+    it loudly (pinned below), so no silently-wrong configuration
+    remains."""
     import numpy as np
+    import pytest as _pytest
 
     from piet_tpu.config import RenderConfig
-    from piet_tpu.ops.coarse import coarse_rasterize
+    from piet_tpu.ops.coarse import coarse_rasterize, engine_set
     from piet_tpu.renderer.renderer import prepare_scene
     from piet_tpu.scene.svg import make_tiger
+
+    with _pytest.raises(ValueError, match="expand\\+gatherm"):
+        engine_set("pallas:expand,gatherm")
+    assert "gatherm" not in engine_set("pallas")[0]
 
     cfg = RenderConfig(width=224, height=224, tile_height=16,
                        tile_width=128, cmd_capacity=2688, max_items=512,

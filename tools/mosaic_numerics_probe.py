@@ -120,46 +120,30 @@ def _fdc():
 
 @op("srgb_chain")
 def _srgb():
-    # The deterministic sRGB encode chain (cmd_math.srgb_encode_u32 core).
+    # The PRODUCTION deterministic sRGB encode (poly/bitcast chain):
+    # device vs numpy must be bit-identical (0 mismatches) -- this op
+    # validates the round-4 structural-exactness claim on hardware.
+    # (The pre-round-4 sqrt+Newton chain measured worst_ulp 256-2048
+    # here, which was the residual 1-code image divergences.)
     def jx(ch):
-        ch = jnp.clip(ch, 0.0, 1.0)
-        x2 = ch * ch
-        x4 = x2 * x2
-        y = x4 * ch
-        t1 = jnp.sqrt(y)
-        t2 = jnp.sqrt(t1)
-        t3 = jnp.sqrt(t2)
-        t4 = jnp.sqrt(t3)
-        t5 = jnp.sqrt(t4)
-        rt = t2 * t4 * t5
-        third = jnp.float32(1.0 / 3.0)
-        for _ in range(4):
-            rr = rt * rt
-            q = y / rr
-            rt = (rt + rt + q) * third
-        p = jnp.sqrt(jnp.sqrt(rt))
-        return jnp.float32(1.055) * p - jnp.float32(0.055)
+        from piet_tpu.ops.cmd_math import srgb_encode_u32
+        return srgb_encode_u32(ch, lambda x: x).astype(jnp.float32)
 
     def npx(ch):
-        ch = np.clip(ch, F(0.0), F(1.0))
-        x2 = F(ch * ch)
-        x4 = F(x2 * x2)
-        y = F(x4 * ch)
-        t1 = np.sqrt(y)
-        t2 = np.sqrt(t1)
-        t3 = np.sqrt(t2)
-        t4 = np.sqrt(t3)
-        t5 = np.sqrt(t4)
-        rt = F(F(t2 * t4) * t5)
-        third = F(1.0 / 3.0)
-        for _ in range(4):
-            rr = F(rt * rt)
-            q = y / rr
-            rt = F(F(F(rt + rt) + q) * third)
-        p = np.sqrt(np.sqrt(rt))
-        return F(F(F(1.055) * p) - F(0.055))
+        from piet_tpu.scene.color import srgb_encode_u8
+        return srgb_encode_u8(ch).astype(F)
 
     return jx, npx, lambda r, s: (rand01(r, s),)
+
+
+@op("ieee_sqrt")
+def _ieee_sqrt():
+    # cmd_math.ieee_sqrt must equal np.sqrt bit-for-bit on hardware.
+    def jx(a):
+        from piet_tpu.ops.cmd_math import ieee_sqrt
+        return ieee_sqrt(a, lambda x: x)
+
+    return jx, lambda a: np.sqrt(a), lambda r, s: (rand_pos(r, s),)
 
 
 @op("saturate_sub")
