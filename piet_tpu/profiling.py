@@ -176,7 +176,15 @@ def profile_render(scene, config: RenderConfig, *, fine_impl: str = "auto",
     # 3. prefix times are cumulative dependency closures, so the true
     #    sequence is monotone -- project the medians onto the nearest
     #    monotone sequence (pool-adjacent-violators) before differencing.
-    prefix_fns = [prefix_fn(k) for k in stage_ks]
+    # Dispatch floor: a near-empty jit over the same inputs -- the
+    # per-step dispatch + queueing cost every prefix (and the production
+    # frame) pays on this host/tunnel.  Reported as its own row; stage
+    # ABSOLUTE values include it, stage DIFFERENCES cancel it.
+    @jax.jit
+    def null_fn(d):
+        return d.tags[0]
+
+    prefix_fns = [null_fn] + [prefix_fn(k) for k in stage_ks]
     for f in prefix_fns:
         _sync(f(dev))  # compile + warm outside the timed rounds
     rounds = 5
@@ -195,8 +203,9 @@ def profile_render(scene, config: RenderConfig, *, fine_impl: str = "auto",
     mono = _isotonic(med)
 
     results: Dict[str, float] = {}
-    prev = 0.0
-    for name, ms in zip(stage_names, mono):
+    results["dispatch_floor"] = round(float(mono[0]), 3)
+    prev = float(mono[0])
+    for name, ms in zip(stage_names, mono[1:]):
         results[name] = round(float(ms - prev), 3)
         prev = float(ms)
 
