@@ -248,21 +248,35 @@ def expand_rows_xla(rows: jax.Array, counts: jax.Array, cap: int,
     """XLA reference implementation: the exactness oracle for expand_rows
     and the portable fallback.
 
-    Owner lookup by BINARY SEARCH on the inclusive cumsum: output p
-    belongs to the first source s with incl[s] > p (zero-count sources
-    collapse and are skipped by side="right").  The previous
-    scatter+cummax formulation paid ~40 ns/SOURCE on the XLA:TPU scalar
-    core -- 8.1 ms for the winding-delta expansion alone at beziers_10k's
-    203k segments (round-4 monotone profile) -- while the search costs
-    log2(S) dense gathers at the OUTPUT count.  Output-identical."""
+    Owner lookup, formulation chosen by DIRECTION (static shapes):
+
+    * S > cap (many sources, few outputs -- the winding-delta case):
+      BINARY SEARCH on the inclusive cumsum -- output p belongs to the
+      first source s with incl[s] > p (zero-count sources collapse and
+      are skipped by side="right").  The scatter formulation here paid
+      ~40 ns/SOURCE on the XLA:TPU scalar core: 8.1 ms for the delta
+      expansion alone at beziers_10k's 203k segments (round-4 profile).
+    * S <= cap (few sources, many outputs -- segment/candidate/hit
+      expansions): scatter-seed + cummax over outputs -- the scatter is
+      S elements (cheap), while a search would pay log2(S) scalar
+      gathers at the OUTPUT count (measured: tiger_8x 5.04 -> 7.33 ms
+      end-to-end when the search was used unconditionally).
+
+    Output-identical either way."""
     S, _ = rows.shape
     if excl is None:
         excl = jnp.cumsum(counts) - counts
     total = (excl[-1] + counts[-1]) if S else jnp.int32(0)
     idx = jnp.arange(cap, dtype=jnp.int32)
     valid = idx < total
-    incl = (excl + counts).astype(jnp.int32)
-    src = jnp.searchsorted(incl, idx, side="right").astype(jnp.int32)
-    src = jnp.minimum(src, S - 1)
+    if S > cap:
+        incl = (excl + counts).astype(jnp.int32)
+        src = jnp.searchsorted(incl, idx, side="right").astype(jnp.int32)
+        src = jnp.minimum(src, S - 1)
+    else:
+        ids = jnp.arange(S, dtype=jnp.int32)
+        starts = jnp.where(counts > 0, excl, cap)
+        seed = jnp.zeros((cap,), jnp.int32).at[starts].max(ids, mode="drop")
+        src = jax.lax.cummax(seed)
     zero = jax.lax.bitcast_convert_type(jnp.uint32(0), rows.dtype)
     return jnp.where(valid[:, None], rows[src], zero)
