@@ -96,3 +96,25 @@ def test_fuzz_random(seed):
     rows = rng.standard_normal((S, int(rng.integers(1, 23)))
                                ).astype(np.float32)
     _check(rows, counts, 4096)
+
+
+def test_xla_owner_lookup_both_directions():
+    """expand_rows_xla picks its owner-lookup formulation by direction
+    (search when S > cap, scatter+cummax otherwise; round 4) -- pin both
+    against an independent numpy expansion."""
+    rng = np.random.default_rng(3)
+    for S, cap in ((300, 64), (64, 300)):
+        counts = rng.integers(0, 4, S).astype(np.int32)
+        rows = rng.integers(0, 2**32, (S, 3), dtype=np.uint64)
+        rows = rows.astype(np.uint32).view(np.float32)
+        want = np.zeros((cap, 3), np.float32)
+        p = 0
+        for s in range(S):
+            for _ in range(int(counts[s])):
+                if p < cap:
+                    want[p] = rows[s]
+                p += 1
+        got = np.asarray(expand_rows_xla(jnp.asarray(rows),
+                                         jnp.asarray(counts), cap))
+        np.testing.assert_array_equal(got.view(np.uint32),
+                                      want.view(np.uint32))
