@@ -77,14 +77,14 @@ def test_full_renderer_bit_exact_on_tpu():
 
     from piet_tpu.config import RenderConfig
     from piet_tpu.raster.cpu_fine import cpu_render_scene
+    from piet_tpu.renderer.capacity import fit_capacities
     from piet_tpu.renderer.renderer import Renderer
     from piet_tpu.scene.svg import make_tiger
 
-    cfg = RenderConfig(width=224, height=224, tile_height=16, tile_width=128,
-                       cmd_capacity=2688, max_items=512, max_points=1 << 15,
-                       max_segments=1 << 15, max_hits=1 << 17,
-                       max_candidates=1 << 14, max_deltas=1 << 15)
     scene = make_tiger(scale=1.0)
+    cfg = fit_capacities(scene, RenderConfig(
+        width=224, height=224, tile_height=16, tile_width=128,
+        cmd_capacity=2688), bucket=True)
     with jax.default_device(_tpu_device()):
         img = Renderer(cfg, fine_impl="pallas").render(scene)
     gold = cpu_render_scene(scene, cfg)
@@ -92,39 +92,34 @@ def test_full_renderer_bit_exact_on_tpu():
 
 
 def test_full_renderer_bit_exact_on_tpu_32row_tiles():
-    """Production tile geometry (32x128): exercises kernel paths that
-    16-row tiles cannot (4-vreg state arrays; the round-2 compile crash
-    lived only here).
+    """PRODUCTION tile geometry (32x128): BIT-EXACT contract.
 
     cmd_capacity sizes the ORACLE's per-tile lists (the entry stream has
     no per-tile capacity); 32-row tiles hold ~2x the commands, so it must
     be large enough that the oracle itself does not truncate.
 
-    Tolerance note: at (32, 128) shapes Mosaic's codegen contracts or
-    reorders one mul+add somewhere in the command math (measured on the
-    ROUND-1 kernel as well -- pre-existing, not a regression), producing
-    <=1 color code on isolated boundary pixels (2 px / 65536 here).
-    16-row tiles are bit-exact (the two tests above).  This test pins the
-    32-row contract: <=1 code, <0.01% of pixels."""
+    History: rounds 1-3 carried a <=1-code / <0.01%-px tolerance here,
+    blamed on Mosaic contraction at 4-vreg shapes.  Round 4 measured the
+    real cause -- device sqrt/div are not IEEE at ANY shape, and the
+    sqrt/Newton sRGB chain let that noise reach the u8 rounding -- and
+    fixed it structurally (polynomial encode + ieee_sqrt), so this
+    geometry is now held to the same strict equality as 16-row tiles."""
     import numpy as np
 
     from piet_tpu.config import RenderConfig
     from piet_tpu.raster.cpu_fine import cpu_render_scene
+    from piet_tpu.renderer.capacity import fit_capacities
     from piet_tpu.renderer.renderer import Renderer
     from piet_tpu.scene.svg import make_tiger
 
-    cfg = RenderConfig(width=256, height=256, tile_height=32, tile_width=128,
-                       cmd_capacity=4096, max_items=512, max_points=1 << 15,
-                       max_segments=1 << 15, max_hits=1 << 17,
-                       max_candidates=1 << 14, max_deltas=1 << 15)
     scene = make_tiger(scale=1.2)
+    cfg = fit_capacities(scene, RenderConfig(
+        width=256, height=256, tile_height=32, tile_width=128,
+        cmd_capacity=4096), bucket=True)
     with jax.default_device(_tpu_device()):
         img = Renderer(cfg, fine_impl="pallas").render(scene)
     gold = cpu_render_scene(scene, cfg)
-    diff = np.abs(img.astype(int) - gold.astype(int))
-    assert diff.max() <= 1, f"max code diff {diff.max()}"
-    frac = (diff.max(axis=-1) > 0).mean()
-    assert frac < 1e-4, f"{frac:.2%} of pixels differ"
+    np.testing.assert_array_equal(img, gold)
 
 
 def test_clip_layer_scene_exact_on_tpu():
@@ -136,6 +131,7 @@ def test_clip_layer_scene_exact_on_tpu():
 
     from piet_tpu.config import RenderConfig
     from piet_tpu.raster.cpu_fine import cpu_render_scene
+    from piet_tpu.renderer.capacity import fit_capacities
     from piet_tpu.renderer.renderer import Renderer
     from piet_tpu.scene.scene import SceneBuilder
 
@@ -154,15 +150,15 @@ def test_clip_layer_scene_exact_on_tpu():
     b.pop()
     b.pop()
     scene = b.build()
-    # Explicit record capacities: RenderConfig's DEFAULTS (hits 1<<20,
-    # candidates 1<<18) are sized for 4K scenes and make this one-jit
-    # compile pathologically slow on the TPU toolchain (the round-3
-    # on-chip runs sat >2 h in the compiler here -- tools/onchip_r3.log;
-    # production paths always fit capacities via Renderer.for_scene).
-    cfg = RenderConfig(width=256, height=256, tile_height=16, tile_width=128,
-                       cmd_capacity=1024, max_items=512, max_points=1 << 15,
-                       max_segments=1 << 15, max_hits=1 << 17,
-                       max_candidates=1 << 14, max_deltas=1 << 15)
+    # FITTED capacities (production contract, Renderer.for_scene): the
+    # former deliberately-loose caps (hits 1<<17 etc.) compiled a 2^18
+    # bitonic sort -- 12-49 MINUTES per test on the TPU toolchain.  The
+    # round-4 suite validated those loose configs once
+    # (tools/onchip_r4.log); loose-capacity dead-slot logic stays covered
+    # by the engine test below and the CPU suites (tests/test_coarse.py).
+    cfg = fit_capacities(scene, RenderConfig(
+        width=256, height=256, tile_height=16, tile_width=128,
+        cmd_capacity=1024), bucket=True)
     with jax.default_device(_tpu_device()):
         img = Renderer(cfg, fine_impl="pallas").render(scene)
     gold = cpu_render_scene(scene, cfg)
@@ -177,16 +173,15 @@ def test_gradient_scene_exact_on_tpu():
 
     from piet_tpu.config import RenderConfig
     from piet_tpu.raster.cpu_fine import cpu_render_scene
+    from piet_tpu.renderer.capacity import fit_capacities
     from piet_tpu.renderer.renderer import Renderer
     from piet_tpu.scene.fixtures import make_gradient_demo
 
     scene = make_gradient_demo(256)
-    # Explicit capacities: see test_clip_layer_scene_exact_on_tpu.
-    cfg = RenderConfig(width=256, height=256, tile_height=16,
-                       tile_width=128, cmd_capacity=256, max_items=512,
-                       max_points=1 << 15, max_segments=1 << 15,
-                       max_hits=1 << 17, max_candidates=1 << 14,
-                       max_deltas=1 << 15)
+    # Fitted capacities: see test_clip_layer_scene_exact_on_tpu.
+    cfg = fit_capacities(scene, RenderConfig(
+        width=256, height=256, tile_height=16, tile_width=128,
+        cmd_capacity=256), bucket=True)
     with jax.default_device(_tpu_device()):
         img = Renderer(cfg, fine_impl="pallas").render(scene)
     gold = cpu_render_scene(scene, cfg)
