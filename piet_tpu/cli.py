@@ -375,7 +375,7 @@ def main(argv=None) -> int:
 
     pr = sub.add_parser("profile", help="per-stage pipeline timing (JSON)")
     scene_args(pr)
-    pr.add_argument("--frames", type=int, default=10)
+    pr.add_argument("--frames", type=int, default=40)
     pr.set_defaults(fn=cmd_profile)
 
     g = sub.add_parser("goldens", help="device vs CPU-oracle PNG pairs")

@@ -116,7 +116,7 @@ def _isotonic(y: np.ndarray) -> np.ndarray:
 
 
 def profile_render(scene, config: RenderConfig, *, fine_impl: str = "auto",
-                   reps: int = 10, interpret: bool = False) -> Dict[str, float]:
+                   reps: int = 40, interpret: bool = False) -> Dict[str, float]:
     """Stage -> ms for one frame of ``scene`` under ``config``.
 
     Returns an ordered dict: every coarse stage (incremental cost), then
