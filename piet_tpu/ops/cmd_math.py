@@ -30,8 +30,11 @@ construction) and the sRGB encode via a mul/add/bitcast-only polynomial
 chain (srgb_encode_u32 / scene/color.py::linear_to_srgb_det).  The fill
 and line coverage divisions keep the raw device div: their <= 2 ulp
 noise sits ~1e-7 in coverage, which the 8-bit quantization absorbs
-except on measure-zero boundary inputs (empirical; every on-chip image
-test is bitwise green, tests/test_tpu_exact.py).
+except on boundary-straddling inputs (empirical; 16-row on-chip image
+tests measure zero; the 32-row production geometry measures 3/262144
+channel values off by 1 code -- the pinned interim contract, see
+tests/test_tpu_exact.py; making these divisions exact is a round-5
+candidate).
 """
 
 from __future__ import annotations
