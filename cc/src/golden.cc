@@ -18,6 +18,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 #include "piet_cc.h"
@@ -32,6 +33,41 @@ using std::uint32_t;
 float saturate(float v) { return std::min(std::max(v, 0.0f), 1.0f); }
 
 float fsign(float v) { return v > 0.0f ? 1.0f : (v < 0.0f ? -1.0f : 0.0f); }
+
+// Deterministic shared division (ops/cmd_math.py::div_det mirror): the
+// exact-residual candidate selection is seed-independent, so seeding with
+// the IEEE quotient (C++ float division) returns the same bits as the
+// device's rcp-seeded selection and numpy's div_det_np.  Candidate order
+// and tie handling (prefer the even mantissa) mirror the Python loop.
+float div_det(float a, float b) {
+  const float q0 = a / b;
+  if (b == 0.0f || !std::isfinite(q0)) return q0;
+  const float cb = b * 4097.0f;
+  const float bh = cb - (cb - b);
+  const float bl = b - bh;
+  uint32_t u0;
+  std::memcpy(&u0, &q0, 4);
+  float best_q = q0;
+  float best_r = std::numeric_limits<float>::infinity();
+  bool best_even = false;
+  for (int delta = -3; delta <= 3; ++delta) {
+    const uint32_t uq = u0 + static_cast<uint32_t>(delta);
+    float q;
+    std::memcpy(&q, &uq, 4);
+    const float cq = q * 4097.0f;
+    const float qh = cq - (cq - q);
+    const float ql = q - qh;
+    const float r =
+        std::fabs((((a - qh * bh) - qh * bl) - ql * bh) - ql * bl);
+    const bool even = (uq & 1u) == 0;
+    if (r < best_r || (r == best_r && even && !best_even)) {
+      best_q = q;
+      best_r = r;
+      best_even = even;
+    }
+  }
+  return best_q;
+}
 
 // sRGB decode/encode use the generated deterministic definitions
 // (cc/gen/piet_srgb_gen.h; see piet_tpu/scene/color.py for rationale).
@@ -118,17 +154,23 @@ struct TileEnc {
 
   // ycull: the emitting stroke's hw + 0.5 in arg word 4 (unused by the
   // fine math; the TPU kernel's row-cull threshold -- see ops/fine.py).
-  void line(float x0, float y0, float x1, float y1, float ycull) {
+  // Word 5: per-command inverse squared length (division-free fine math;
+  // raster/ptcl.py::line mirror).
+  void line(float x0, float y0, float x1, float y1, float ycull,
+            float inv_denom) {
     clear_solid();
-    push(piet::Cmd_Line, {x0, y0, x1, y1, ycull});
+    push(piet::Cmd_Line, {x0, y0, x1, y1, ycull, inv_denom});
   }
   void stroke(uint32_t rgba, float width, const float* clip) {
     clear_solid();
     const LinColor c = decode_color(rgba);
     push_clipped(piet::Cmd_Stroke, {0.5f * width, c.r, c.g, c.b, c.a}, clip);
   }
-  void fill(float x0, float y0, float x1, float y1) {
-    push(piet::Cmd_Fill, {x0, y0, x1, y1});
+  // Fill operands [sx, sy, ey, m, K]: the per-SEGMENT constants of the
+  // division-free trapezoid math (raster/ptcl.py mirror; a clipped
+  // sub-segment carries the SEGMENT's slope words).
+  void fill(float x0, float y0, float /*x1*/, float y1, float m, float K) {
+    push(piet::Cmd_Fill, {x0, y0, y1, m, K});
   }
   void fill_edge(float sign, float y) {
     push(piet::Cmd_FillEdge, {sign, y});
@@ -190,7 +232,19 @@ struct TileEnc {
 
 struct Seg {
   float sx, sy, ex, ey, a, b, c, xmin, ymin, xmax, ymax;
+  // Per-segment constants of the division-free fine math (round 5;
+  // ops/cmd_math.py module doc), computed once per segment through the
+  // deterministic division selection -- mirrors cpu_tiler.py::_segments.
+  float inv_denom, m, K;
 };
+
+// Contraction-immune x*x + y*y (ops/cmd_math.py::dot2_det mirror).
+float dot2_det(float x, float y) {
+  const float cx = x * 4097.0f, hx = cx - (cx - x), lx = x - hx;
+  const float cy = y * 4097.0f, hy = cy - (cy - y), ly = y - hy;
+  return ((hx * hx + 2.0f * (hx * lx)) + lx * lx) +
+         ((hy * hy + 2.0f * (hy * ly)) + ly * ly);
+}
 
 std::vector<Seg> make_segs(const float* pts, uint32_t n, bool wrap) {
   std::vector<Seg> out;
@@ -210,6 +264,12 @@ std::vector<Seg> make_segs(const float* pts, uint32_t n, bool wrap) {
     s.xmax = std::max(s.sx, s.ex);
     s.ymin = std::min(s.sy, s.ey);
     s.ymax = std::max(s.sy, s.ey);
+    const float lvx = s.ex - s.sx, lvy = s.ey - s.sy;
+    s.inv_denom = div_det(1.0f, dot2_det(lvx, lvy));
+    s.m = div_det(lvx, lvy);
+    s.K = div_det(-lvy, std::fabs(lvx));
+    if (!std::isfinite(s.m)) s.m = 0.0f;
+    if (!std::isfinite(s.K)) s.K = 0.0f;
     out.push_back(s);
   }
   return out;
@@ -241,22 +301,24 @@ FillCov fill_coverage(TileEnc& enc, const std::vector<Seg>& segs, float x0,
     const bool four = s00 * s01 + s00 * s10 + s00 * s11 < 3.0f;
     if (s_top_left == fsign(s.a) && s.ymin <= y0) fc.backdrop -= s00;
     if (s.xmin < x0 && s.xmax > x0) {
-      const float t_edge = (s.sx - x0) / s.b;
+      // div_det: the intercept is a PTCL operand; all three oracles and
+      // the device compute it through the same selection (cmd_math.py).
+      const float t_edge = div_det(s.sx - x0, s.b);
       const float y_edge = s.sy + (s.ey - s.sy) * t_edge;
       if (y_edge >= y0 && y_edge < y0 + th) {
         enc.fill_edge(s00, y_edge);
         if (s.b > 0.0f) {
-          enc.fill(s.sx, s.sy, x0, y_edge);
+          enc.fill(s.sx, s.sy, x0, y_edge, s.m, s.K);
         } else {
-          enc.fill(x0, y_edge, s.ex, s.ey);
+          enc.fill(x0, y_edge, s.ex, s.ey, s.m, s.K);
         }
         fc.any_fill = true;
       } else if (four) {
-        enc.fill(s.sx, s.sy, s.ex, s.ey);
+        enc.fill(s.sx, s.sy, s.ex, s.ey, s.m, s.K);
         fc.any_fill = true;
       }
     } else if (four && s.xmin < x0 + tw && s.xmax > x0) {
-      enc.fill(s.sx, s.sy, s.ex, s.ey);
+      enc.fill(s.sx, s.sy, s.ex, s.ey, s.m, s.K);
       fc.any_fill = true;
     }
   }
@@ -323,7 +385,7 @@ void poly_tile(TileEnc& enc, const Item& it, float x0, float y0, float tw,
     const float s10 = fsign(bot + left + s.c);
     const float s11 = fsign(bot + right + s.c);
     if (s00 * s01 + s00 * s10 + s00 * s11 < 3.0f) {
-      enc.line(s.sx, s.sy, s.ex, s.ey, hw);
+      enc.line(s.sx, s.sy, s.ex, s.ey, hw, s.inv_denom);
       any = true;
     }
   }
@@ -343,7 +405,7 @@ void line_tile(TileEnc& enc, const Item& it, float x0, float y0, float tw,
   const float s10 = fsign(bot + left + s.c);
   const float s11 = fsign(bot + right + s.c);
   if (s00 * s01 + s00 * s10 + s00 * s11 < 3.0f) {
-    enc.line(s.sx, s.sy, s.ex, s.ey, hw);
+    enc.line(s.sx, s.sy, s.ex, s.ey, hw, s.inv_denom);
     enc.stroke(it.rgba, it.width, it.clip);
   }
 }
@@ -385,11 +447,15 @@ void render_pixel(const std::vector<Cmd>& cmds, float X, float Y,
         break;
       }
       case piet::Cmd_Line: {
+        // Division-free (round 5): word 5 is the per-command
+        // div_det(1, |v|^2); +inf marks a degenerate segment (dot).
+        // Mirrors cmd_math.line_field_sq / cpu_fine.py op-for-op.
         const float lvx = c.a[2] - c.a[0], lvy = c.a[3] - c.a[1];
         const float dpx = X - c.a[0], dpy = Y - c.a[1];
-        const float denom = lvx * lvx + lvy * lvy;
-        const float t =
-            denom > 0.0f ? saturate((lvx * dpx + lvy * dpy) / denom) : 0.0f;
+        const float inv_denom = c.a[5];
+        const float t = std::isfinite(inv_denom)
+                            ? saturate((lvx * dpx + lvy * dpy) * inv_denom)
+                            : 0.0f;
         const float fx = lvx * t - dpx, fy = lvy * t - dpy;
         df = std::min(df, std::sqrt(fx * fx + fy * fy));
         break;
@@ -403,28 +469,32 @@ void render_pixel(const std::vector<Cmd>& cmds, float X, float Y,
         break;
       }
       case piet::Cmd_Fill: {
-        const float rsx = c.a[0] - X, rsy = c.a[1] - Y;
-        const float rex = c.a[2] - X, rey = c.a[3] - Y;
+        // Division-free trapezoid coverage (round 5): operands are
+        // [sx, sy, ey, m, K] with per-command m = div_det(dx, dy),
+        // K = div_det(-dy, |dx|).  Mirrors cmd_math.fill_delta /
+        // cpu_fine.py op-for-op; rationale there.
+        const float rsy = c.a[1] - Y, rey = c.a[2] - Y;
         const float w0 = saturate(rsy), w1 = saturate(rey);
         if (w0 != w1) {
-          const float dy = rey - rsy;
-          const float t0 = (w0 - rsy) / dy, t1 = (w1 - rsy) / dy;
-          const float xs0 = rsx + (rex - rsx) * t0;
-          const float xs1 = rsx + (rex - rsx) * t1;
-          const float xmin = std::min(std::min(xs0, xs1), 1.0f) - 1e-6f;
-          const float xmax = std::max(xs0, xs1);
-          const float bq = std::min(xmax, 1.0f);
-          const float cq = std::max(bq, 0.0f);
-          const float dq = std::max(xmin, 0.0f);
-          float a_cov;
-          if (xmax - xmin > 1e-4f) {
-            a_cov = (bq + 0.5f * (dq * dq - cq * cq) - xmin) / (xmax - xmin);
-          } else {
-            a_cov = 1.0f - saturate(xs0);  // wide degenerate-column guard
-                                           // (near-vertical edges), see
-                                           // cpu_fine.py
+          const float m = c.a[3], K = c.a[4];
+          const float wa = std::min(w0, w1), wb = std::max(w0, w1);
+          const float rx = c.a[0] - X;
+          const float ua = rx + m * (wa - rsy);
+          const float ub = rx + m * (wb - rsy);
+          const float umin = std::min(ua, ub);
+          const float umax = std::max(ua, ub);
+          const auto Fint = [](float u) {
+            const float cc = saturate(u);
+            return std::min(u, 1.0f) - 0.5f * (cc * cc);
+          };
+          float delta = (Fint(umax) - Fint(umin)) * K;
+          if (!(umax - umin > 1e-4f)) {
+            // Wide degenerate-column guard (near-vertical edges), see
+            // cpu_fine.py.
+            const float u0 = w0 <= w1 ? ua : ub;
+            delta = (1.0f - saturate(u0)) * (w0 - w1);
           }
-          area += a_cov * (w0 - w1);
+          area += delta;
         }
         break;
       }

@@ -137,6 +137,8 @@ def cmd_animate(args) -> int:
 
     os.makedirs(args.outdir, exist_ok=True)
 
+    if getattr(args, "affine", False) or getattr(args, "svg", None):
+        return _animate_affine(args)
     if args.scene == "animated" and getattr(args, "device_anim", True):
         return _animate_device(args)
 
@@ -245,6 +247,87 @@ def _animate_device(args) -> int:
                   .reshape(cfg.height, cfg.width, 4))
     print(json.dumps({
         "scene": "animated", "frames": args.frames, "device_anim": True,
+        "viewport": f"{cfg.width}x{cfg.height}",
+        "encode_ms_per_frame": 0.0,
+        "wall_ms_per_frame": round(wall_ms / args.frames, 3),
+        "fps_wall": round(1e3 * args.frames / wall_ms, 1),
+        "outdir": args.outdir,
+    }))
+    return 0
+
+
+def _animate_affine(args) -> int:
+    """Device-side affine animation for ANY scene (scene/affine.py,
+    round 5): stage the scene once, spin/zoom it about the viewport
+    center with the per-frame transform computed INSIDE the render jit
+    -- zero host encode per frame, the general-scene answer to the
+    reference's re-encode loop (TestApp/PietRenderer.m:105-146)."""
+    import dataclasses
+    import math
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .renderer.capacity import fit_capacities
+    from .scene import affine
+    from .utils.png import write_png
+
+    if getattr(args, "svg", None):
+        from .scene.svg_full import load_svg_file
+        scene = load_svg_file(args.svg, scale=args.scale or 1.0)
+    else:
+        scene = _build_scene(args)
+    cfg = _config_for(args, scene)
+    cx, cy = cfg.width / 2.0, cfg.height / 2.0
+
+    def angle(t):
+        return t * (2.0 * math.pi / args.period)
+
+    def zoom(t):
+        return 1.0 + args.zoom * math.sin(t * 2.0 * math.pi / args.period)
+
+    # Capacity envelope over the t sweep: record counts change under
+    # rotation, so fit a few HOST-transformed samples and take the max
+    # (overflow is still checked per frame via stats).
+    for k in range(5):
+        t = args.t0 + (args.frames - 1) * args.dt * k / 4
+        m = np.asarray(affine.rotation_about(cx, cy, angle(t), zoom(t)))
+        c = fit_capacities(affine.host_transform_scene(scene, m), cfg,
+                           bucket=True)
+        cfg = dataclasses.replace(
+            cfg,
+            max_hits=max(cfg.max_hits, c.max_hits),
+            max_candidates=max(cfg.max_candidates, c.max_candidates),
+            max_deltas=max(cfg.max_deltas, c.max_deltas),
+            cmd_capacity=max(cfg.cmd_capacity, c.cmd_capacity))
+
+    period = args.period
+
+    def mats_fn(t):
+        a = t * jnp.float32(2.0 * math.pi / period)
+        s = 1.0 + args.zoom * jnp.sin(a)
+        return affine.rotation_about(cx, cy, a, s)
+
+    render_t = affine.make_affine_render_fn(cfg, scene, mats_fn,
+                                            fine_impl=args.fine_impl)
+    img, _ = render_t(jnp.float32(args.t0))
+    np.asarray(img[0, 0])  # compile + warm
+
+    t_r0 = time.perf_counter()
+    outs = [render_t(jnp.float32(args.t0 + i * args.dt))
+            for i in range(args.frames)]
+    np.asarray(outs[-1][0][0, 0])  # fetch-sync: all earlier frames ran
+    wall_ms = (time.perf_counter() - t_r0) * 1e3
+
+    os.makedirs(args.outdir, exist_ok=True)
+    for i, (im, st) in enumerate(outs):
+        write_png(os.path.join(args.outdir, f"frame_{i:04d}.png"),
+                  np.ascontiguousarray(np.asarray(im)).view(np.uint8)
+                  .reshape(cfg.height, cfg.width, 4))
+    print(json.dumps({
+        "scene": args.scene if not getattr(args, "svg", None) else args.svg,
+        "frames": args.frames, "device_affine": True,
         "viewport": f"{cfg.width}x{cfg.height}",
         "encode_ms_per_frame": 0.0,
         "wall_ms_per_frame": round(wall_ms / args.frames, 3),
@@ -367,6 +450,16 @@ def main(argv=None) -> int:
     a.add_argument("--chunk", type=int, default=8,
                    help="frames per device dispatch")
     a.add_argument("--outdir", default="frames")
+    a.add_argument("--affine", action="store_true",
+                   help="device-side affine animation of ANY scene "
+                        "(spin/zoom about the viewport center; "
+                        "scene/affine.py)")
+    a.add_argument("--svg", help="affine-animate an SVG file (implies "
+                                 "--affine scene source)")
+    a.add_argument("--period", type=float, default=4.0,
+                   help="seconds of t per full rotation (--affine)")
+    a.add_argument("--zoom", type=float, default=0.15,
+                   help="zoom oscillation amplitude (--affine)")
     a.add_argument("--host-encode", dest="device_anim",
                    action="store_false", default=True,
                    help="per-frame HOST re-encode instead of the "

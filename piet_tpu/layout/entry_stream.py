@@ -15,7 +15,8 @@ per (16, 128) block for vreg-aligned DMA, see ops/coarse.py):
   word 0      slot-0 command tag as f32 (0 = empty slot)
   words 1-7   slot-0 operand words 0-6
   word 8      slot-1 command tag (only ever CmdFill or 0)
-  words 9-13  slot-1 operand words 0-4
+  words 9-13  slot-1 operand words 0-4 (hit rows; CmdFill uses all five:
+              [sx, sy, ey, m, K], the division-free fill operands)
   word 13     (candidate rows, where slot 1 is empty) opaque-solid bail
               color, present-format u32 bitcast to f32
   word 14     meta bits (see META_*)
@@ -65,7 +66,9 @@ RUN_CAP = 4096
 def _static_check() -> None:
     assert W_S0_ARG + N_S0_ARGS == W_S1_TAG
     assert W_S1_ARG + N_S1_ARGS == W_META
-    assert W_BAIL == W_S1_ARG + 4  # shares slot-1 arg 4 (unused by CmdFill)
+    assert W_BAIL == W_S1_ARG + 4  # shares slot-1 arg 4 (candidate rows
+    # never carry a slot-1 fill, so the bail color cannot collide with
+    # the fill's K word)
     assert W_RUN == ENTRY_WORDS - 1
 
 

@@ -27,14 +27,21 @@ round 4 -- supersedes earlier claims that div/sqrt were IEEE):
 Exactness policy: resolve-path transcendentals are made structural --
 sqrt via ieee_sqrt (exact-residual candidate selection, = np.sqrt by
 construction) and the sRGB encode via a mul/add/bitcast-only polynomial
-chain (srgb_encode_u32 / scene/color.py::linear_to_srgb_det).  The fill
-and line coverage divisions keep the raw device div: their <= 2 ulp
-noise sits ~1e-7 in coverage, which the 8-bit quantization absorbs
-except on boundary-straddling inputs (empirical; 16-row on-chip image
-tests measure zero; the 32-row production geometry measures 3/262144
-channel values off by 1 code -- the pinned interim contract, see
-tests/test_tpu_exact.py; making these divisions exact is a round-5
-candidate).
+chain (srgb_encode_u32 / scene/color.py::linear_to_srgb_det).
+
+Round 5 closes the last gap -- the fill and line coverage DIVISIONS,
+whose <= 2 ulp device noise flipped 3/262144 channel codes at the
+production 32-row geometry (the round-4 interim contract): the per-pixel
+math is now DIVISION-FREE.  Every quotient the fine math needs is a
+per-COMMAND constant (fill slope m = dx/dy, area scale K = -dy/|dx|,
+line 1/|v|^2), computed once per record by the COARSE pass through
+``div_det`` -- a seed-independent exact-residual candidate selection
+(the ieee_sqrt construction applied to division) that the numpy oracle
+and the C++ golden mirror bitwise -- and shipped as operand words.  The
+per-pixel evaluators (fill_delta, line_field_sq) consume them with only
+multiplies/adds/min/max/selects, all exactly rounded and deterministic
+on TPU, so the fine kernel is bit-identical to the oracle at EVERY tile
+geometry by construction.
 """
 
 from __future__ import annotations
@@ -115,6 +122,95 @@ def ieee_sqrt(x, bar):
     return jnp.where(x > 0.0, best_s, s0)
 
 
+def div_det(a, b, bar):
+    """Deterministic shared f32 division: bitwise-equal on every backend.
+
+    TPU f32 div is a*rcp(b) with rcp NOT correctly rounded (<= 2 ulp off
+    RN on ~1/3 of inputs -- measured, tools/mosaic_numerics_probe.py),
+    while the numpy oracle divides IEEE.  This wrapper is the ieee_sqrt
+    construction applied to division: take the hardware quotient, step
+    +-3 representation neighbors, and pick the candidate minimizing
+    |a - q*b| with the residual computed through exact Dekker-split
+    products (12+12-bit halves multiply exactly; a - qh*bh is
+    Sterbenz-exact; the remaining subtractions round ~2^-45 relative,
+    far below the ~2^-23 inter-candidate gaps).
+
+    SEED INDEPENDENCE (why oracle == device bitwise): |a - q*b| is
+    exactly V-shaped in q with a full inter-candidate step of slope, so
+    the computed argmin always lands on one of the two representable
+    neighbors of the true quotient; any seed within 2 ulp of the truth
+    (device rcp error bound; the oracle's IEEE seed trivially) has both
+    neighbors inside its +-3 window, and the residual comparison itself
+    is built only from exactly-rounded ops -- the same function of
+    (a, b, q) on every backend.  Both sides therefore select the same
+    winner even where the residual comparison's ~2^-21-relative noise
+    makes the selection differ from true IEEE rounding (near-halfway
+    quotients); exact ties break toward the even mantissa on both sides.
+
+    Used on per-RECORD vectors in the coarse pass (fill slope/scale,
+    line inverse norm, edge intercept) -- never on per-pixel planes.
+    """
+    f32 = jnp.float32
+    q0 = a / b
+    cb = b * f32(4097.0)                 # Dekker split of b (shared)
+    bh = cb - bar(cb - b)
+    bl = b - bh
+    u0 = jax.lax.bitcast_convert_type(q0, jnp.uint32)
+    best_q = q0
+    best_r = jnp.full_like(q0, jnp.inf)
+    # Evenness rides as f32 0/1, not bool: a SELECT on boolean vectors
+    # trips a Mosaic i8->i1 truncation inside Pallas kernels (this
+    # function runs in ops/hitfuse.py); `ev > best_ev` == the candidate
+    # is even and the incumbent odd -- exactly `even & ~best_even`.
+    best_ev = jnp.zeros_like(q0)
+    for delta in (-3, -2, -1, 0, 1, 2, 3):
+        uq = u0 + jnp.uint32(delta & 0xFFFFFFFF)
+        q = jax.lax.bitcast_convert_type(uq, f32)
+        cq = q * f32(4097.0)
+        qh = cq - bar(cq - q)
+        ql = q - qh
+        r = jnp.abs((((a - bar(qh * bh)) - bar(qh * bl)) - bar(ql * bh))
+                    - bar(ql * bl))
+        ev = f32(1.0) - (uq & jnp.uint32(1)).astype(jnp.int32).astype(f32)
+        take = (r < best_r) | ((r == best_r) & (ev > best_ev))
+        best_q = jnp.where(take, q, best_q)
+        best_ev = jnp.where(take, ev, best_ev)
+        best_r = jnp.where(take, r, best_r)
+    # Non-finite / zero cases keep the raw quotient (the candidates'
+    # bitcast arithmetic wraps into garbage there; callers mask them).
+    ok = (b != 0.0) & (jnp.abs(q0) < jnp.inf) & (q0 == q0)
+    return jnp.where(ok, best_q, q0)
+
+
+_INF = float("inf")
+
+
+def dot2_det(x, y, bar):
+    """Contraction-immune x*x + y*y (the line-norm denominator).
+
+    A plain fl(x*x) + fl(y*y) is FMA-bait: a compiler that contracts the
+    second square into the add (measured on XLA:CPU inside large fusion
+    contexts) shifts the sum by an ulp, and a division constant derived
+    from it then differs between compile contexts.  Here every product
+    is EXACT by construction (Veltkamp 12+12-bit split squares), so
+    fma(a, b, s) == s + fl(a*b) identically and no contraction decision
+    can change the result.  The value is slightly MORE accurate than the
+    two-rounding form; the numpy oracle (raster/ptcl.py::dot2_det_np)
+    and the C++ golden mirror this exact op sequence.
+    """
+    f32 = jnp.float32
+
+    def sq(v):
+        c = v * f32(4097.0)
+        h = c - bar(c - v)
+        l = v - h
+        return bar(h * h), bar(f32(2.0) * bar(h * l)), bar(l * l)
+
+    xh, xm, xl = sq(x)
+    yh, ym, yl = sq(y)
+    return ((xh + xm) + xl) + ((yh + ym) + yl)
+
+
 def line_field_sq(arg, X, Y, bar):
     """SQUARED distance field of CmdLine (PietRender.metal:79-97).
 
@@ -122,15 +218,19 @@ def line_field_sq(arg, X, Y, bar):
     the sqrt to the stroke resolve: f32 sqrt is correctly rounded and
     monotone, so sqrt(min(x)) == min(sqrt(x)) bit-exactly.
 
-    Operand word 4 (unused by the math) carries the emitting stroke's
-    hw + 0.5 threshold (a row-cull experiment; kept in the wire format)."""
+    Operand words: [sx, sy, ex, ey, hw, inv_denom].  Word 4 (unused by
+    the math) carries the emitting stroke's hw + 0.5 threshold (a
+    row-cull experiment; kept in the wire format).  Word 5 is the
+    coarse-computed div_det(1, |v|^2) -- +inf marks a degenerate
+    zero-length segment, which renders as a dot (t = 0; see
+    cpu_fine.py)."""
     sx, sy, ex, ey = arg(0), arg(1), arg(2), arg(3)
+    inv_denom = arg(5)
     lvx, lvy = ex - sx, ey - sy
     dpx, dpy = X - sx, Y - sy
-    denom = bar(lvx * lvx) + bar(lvy * lvy)
     dotp = bar(lvx * dpx) + bar(lvy * dpy)
-    # Degenerate segments render as dots (t = 0); see cpu_fine.py.
-    tpar = jnp.where(denom > 0.0, _saturate(dotp / denom), 0.0)
+    tpar = jnp.where(inv_denom < _INF,
+                     _saturate(bar(dotp * inv_denom)), 0.0)
     fx = bar(lvx * tpar) - dpx
     fy = bar(lvy * tpar) - dpy
     return bar(fx * fx) + bar(fy * fy)
@@ -142,29 +242,51 @@ def line_field(arg, X, Y, bar):
 
 
 def fill_delta(arg, X, Y, bar):
-    """Signed-area delta of CmdFill (mask, delta), PietRender.metal:102-117."""
-    sx, sy, ex, ey = arg(0), arg(1), arg(2), arg(3)
-    rsx, rsy = sx - X, sy - Y
-    rex, rey = ex - X, ey - Y
+    """Signed-area delta of CmdFill (mask, delta), PietRender.metal:102-117.
+
+    DIVISION-FREE evaluation of the reference's trapezoid coverage: the
+    pixel-row y-window [w1, w0] maps to the segment's x-interval
+    [umin, umax], and the signed area is the exact piecewise integral
+
+        Sx = F(umax) - F(umin),  F(u) = min(u, 1) - 0.5 * clamp(u, 0, 1)^2
+        delta = Sx * K
+
+    where F is the antiderivative of clamp(1 - u, 0, 1) and the operand
+    constants m = div_det(dx, dy) (x slope per unit y) and
+    K = div_det(-dy, |dx|) (the y-window/x-interval Jacobian, carrying
+    the winding sign) are computed once per command by the coarse pass.
+    Equal to the reference's mean-coverage formula a_cov * (w0 - w1)
+    (PietRender.metal:508-528) up to its 1e-6 denominator fudge -- and
+    unlike it, exactly 0 for fully-uncovered pixels.  Near-vertical
+    columns (x-span <= 1e-4) keep the analytic limit of the round-1
+    oracle: (1 - clamp(u0)) * (w0 - w1).
+
+    Operand words: [sx, sy, ey, m, K]."""
+    sx, sy, ey, m, K = arg(0), arg(1), arg(2), arg(3), arg(4)
+    rsy = sy - Y
+    rey = ey - Y
     w0 = _saturate(rsy)
     w1 = _saturate(rey)
     mask = w0 != w1
-    dy = rey - rsy
-    t0 = (w0 - rsy) / dy
-    t1 = (w1 - rsy) / dy
-    xs0 = rsx + bar((rex - rsx) * t0)
-    xs1 = rsx + bar((rex - rsx) * t1)
-    xmin = jnp.minimum(jnp.minimum(xs0, xs1), 1.0) - 1e-6
-    xmax = jnp.maximum(xs0, xs1)
-    bq = jnp.minimum(xmax, 1.0)
-    cq = jnp.maximum(bq, 0.0)
-    dq = jnp.maximum(xmin, 0.0)
-    a_cov = (bq + bar(0.5 * (bar(dq * dq) - bar(cq * cq))) - xmin) \
-        / (xmax - xmin)
-    # Wide degenerate-column guard (near-vertical edges; see
-    # cpu_fine.py for the rationale and the reference's narrower bug).
-    a_cov = jnp.where(xmax - xmin > 1e-4, a_cov, 1.0 - _saturate(xs0))
-    return mask, bar(a_cov * (w0 - w1))
+    wa = jnp.minimum(w0, w1)
+    wb = jnp.maximum(w0, w1)
+    rx = sx - X
+    ua = rx + bar(m * (wa - rsy))
+    ub = rx + bar(m * (wb - rsy))
+    umin = jnp.minimum(ua, ub)
+    umax = jnp.maximum(ua, ub)
+
+    def F(u):
+        c = _saturate(u)
+        return jnp.minimum(u, 1.0) - bar(0.5 * bar(c * c))
+
+    delta = bar((F(umax) - F(umin)) * K)
+    # Degenerate-column guard (near-vertical edges; see cpu_fine.py for
+    # the rationale and the reference's narrower bug).  u0 is the x at
+    # the w0 window end (== ua or ub by the direction of travel).
+    u0 = jnp.where(w0 <= w1, ua, ub)
+    deg = (1.0 - _saturate(u0)) * (w0 - w1)
+    return mask, jnp.where(umax - umin > 1e-4, delta, deg)
 
 
 def edge_delta(arg, Y, bar):

@@ -15,10 +15,14 @@ sort (SURVEY.md section 7, translation decision 4):
   3. exact per-record tests -- the reference's per-tile f32 sign tests,
                             evaluated identically (see raster/cpu_tiler.py),
                             emitting <= 2 command slots per record
-  4. winding deltas      -- per (fill segment, tile row) crossing records;
-                            scatter + per-row prefix-sum gives each
-                            (item, tile) candidate its integer backdrop
-                            (replaces the per-tile left-ray accumulation,
+  4. winding deltas      -- each (fill segment, tile row)'s crossing
+                            column is emitted BY that row's first hit
+                            record (round-5 fold -- the hit pipeline
+                            already visits every (segment, row), so no
+                            second expansion); keyed +-1 sums + a
+                            per-row prefix give each (item, tile)
+                            candidate its integer backdrop (replaces
+                            the per-tile left-ray accumulation,
                             PietRender.metal:331-333)
   5. candidates          -- per (item, tile-in-bbox) records that emit the
                             trailing CmdDrawFill/CmdSolid/CmdStroke/CmdCircle
@@ -56,6 +60,7 @@ from ..layout.entry_stream import (ENTRY_WORDS, META_CLEAR_BIT,
                                    W_BAIL, W_META, W_RUN, W_S0_TAG, W_S1_TAG)
 from ..raster.ptcl import (ARG_WORDS, CMD_CIRCLE, CMD_DRAW_FILL, CMD_FILL,
                            CMD_FILL_EDGE, CMD_LINE, CMD_SOLID, CMD_STROKE)
+from .cmd_math import div_det, dot2_det
 from ..raster.ptcl import (CMD_BEGIN_CLIP, CMD_BEGIN_LAYER, CMD_END_CLIP,
                            CMD_END_LAYER)
 from ..raster.ptcl import (CMD_DRAW_LIN_GRAD, CMD_DRAW_RAD_GRAD, CMD_WIND)
@@ -234,7 +239,7 @@ def _item_tile_rect(bboxes, tw: int, th: int, tiles_x: int, tiles_y: int,
 def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
                      tile_w: int, tile_h: int, cmd_capacity: int,
                      max_segments: int, max_hits: int, max_candidates: int,
-                     max_deltas: int, row0=0,
+                     max_deltas: int = 0, row0=0,
                      output: str = "dense", sort_impl: str = "auto",
                      expand_impl: str = "xla", pair="compact",
                      hitfuse: str = "off",
@@ -509,6 +514,26 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
     r_y_hi = jnp.minimum(r_y_hi, s_by1)
     r_w = jnp.maximum(r_x_hi - r_x_lo + 1, 0)
     r_h = jnp.maximum(r_y_hi - r_y_lo + 1, 0)
+    # Round 5 (delta fold): winding deltas are emitted BY the hit
+    # records (one per (fill segment, tile row), from the dx == 0
+    # record) instead of a second full expansion of ``seg_all`` -- the
+    # round-4 profile's largest coarse stage (del_expand, 1.6 ms at 4K).
+    # Delta rows are always a subset of the fill rect's rows
+    # (ceil(ymin/th) >= floor(ymin/th); identical bbox/viewport clamps),
+    # but the COLUMN range can be empty while deltas exist -- a segment
+    # left of the viewport still swings the winding of tiles to its
+    # right, and a vertical segment on an exact tile boundary has
+    # ceil(xmax/tw) - 1 < floor(xmin/tw).  Guarantee one column for
+    # such segments: the forced records pass none of the exact coverage
+    # tests (PTCL unchanged -- the cull re-filters) and exist only to
+    # carry the per-row crossing emission.  Mirrored in
+    # renderer/capacity.py::count_records.
+    widen = (is_fill_seg & (a != 0.0) & (r_w == 0) & (r_h > 0)
+             & (s_bx0 <= s_bx1))
+    wcol = jnp.clip(fx_lo, s_bx0, s_bx1)
+    r_x_lo = jnp.where(widen, wcol, r_x_lo)
+    r_x_hi = jnp.where(widen, wcol, r_x_hi)
+    r_w = jnp.where(widen, 1, r_w)
     # (Valid slots always map to owners with count > 0 by construction,
     # so seg_valid alone gates.)
     hit_counts = jnp.where(seg_valid, r_w * r_h, 0)
@@ -529,11 +554,27 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         [seg_flags, r_x_lo, r_y_lo, jnp.maximum(r_w, 1), seg_item,
          s_cand_excl, s_by0, jnp.maximum(s_bw, 1), s_bx0, s_by1, s_bx1],
         axis=1)                                          # (S, 11)
+    # Per-SEGMENT constants of the division-free fine math (round 5;
+    # cmd_math.py module doc), computed ONCE here -- both hit-record
+    # paths (staged XLA and the fused kernel) gather the SAME words, and
+    # the numpy oracle derives them identically (cpu_tiler.py::_segments),
+    # so the wire stays bitwise impl-independent.  dot2_det keeps the
+    # norm contraction-immune; degenerate fills carry zeroed m/K (the
+    # masked/guard paths read neither); zero-length strokes carry
+    # inv_denom = +inf (the dot semantic, line_field_sq).
+    lvx = ex - sx
+    lvy = ey - sy
+    s_invd = div_det(f32(1.0), dot2_det(lvx, lvy, _bar), _bar)
+    s_m = div_det(lvx, lvy, _bar)
+    s_K = div_det(-lvy, jnp.abs(lvx), _bar)
+    s_m = jnp.where(jnp.abs(s_m) < jnp.inf, s_m, 0.0)
+    s_K = jnp.where(jnp.abs(s_K) < jnp.inf, s_K, 0.0)
     seg_all = jnp.concatenate(
         [jnp.stack([sx, sy, ex, ey, a, b, c, xmn[:, 0], xmn[:, 1],
                     xmx[:, 0], xmx[:, 1], s_hw], axis=1),
-         jax.lax.bitcast_convert_type(seg_i32, f32)],
-        axis=1)                                          # (S, 23)
+         jax.lax.bitcast_convert_type(seg_i32, f32),
+         jnp.stack([s_invd, s_m, s_K], axis=1)],
+        axis=1)                                          # (S, 26)
     hit_idx = jnp.arange(max_hits, dtype=jnp.int32)
     hit_valid = hit_idx < n_hits
     if use_hitfuse:
@@ -552,20 +593,20 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         h_cand = fused["h_cand"].astype(jnp.int32)
         stage_probe("hit_gather", fused["h_cand"])
         stage_probe("hit_tests", fused["rows"], fused["n_cmds"])
-        cand_emit = ksum(
-            fused["n_cmds"][:, None], h_cand,
-            jnp.where(hit_valid, fused["cexcl"].astype(jnp.int32),
-                      max_candidates),
-            jnp.where(hit_valid, fused["cand_end"].astype(jnp.int32),
-                      max_candidates + 1),
-            max_candidates)[:, 0].astype(jnp.int32)
+        klo = jnp.where(hit_valid, fused["cexcl"].astype(jnp.int32),
+                        max_candidates)
+        khi = jnp.where(hit_valid, fused["cand_end"].astype(jnp.int32),
+                        max_candidates + 1)
+        cand_emit = ksum(fused["n_cmds"][:, None], h_cand, klo, khi,
+                         max_candidates)[:, 0].astype(jnp.int32)
     else:
         ha = _db(exp_rows(
             jnp.concatenate([seg_all, i2f(hit_excl)[:, None]], axis=1),
             hit_counts, max_hits, hit_excl))
         hf = ha[:, :12]
         hi = jax.lax.bitcast_convert_type(ha[:, 12:23], jnp.int32)
-        hit_local = hit_idx - jax.lax.bitcast_convert_type(ha[:, 23], jnp.int32)
+        h_invd, h_m, h_K = ha[:, 23], ha[:, 24], ha[:, 25]
+        hit_local = hit_idx - jax.lax.bitcast_convert_type(ha[:, 26], jnp.int32)
         h_flags = hi[:, 0]
         h_w = jnp.maximum(hi[:, 3], 1)
         h_dy, h_dx = _fdivmod(hit_local, h_w)
@@ -600,7 +641,10 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         s11 = _sign(bot + right + h_c)
         four = s00 * s01 + s00 * s10 + s00 * s11 < f32(3.0)
         crosses_left = (h_xmn[:, 0] < x0f) & (h_xmx[:, 0] > x0f)
-        t_edge = (h_sx - x0f) / h_b
+        # div_det: the FillEdge intercept is a PTCL operand, so the
+        # division must match the numpy oracle bitwise (cpu_tiler.py uses
+        # div_det_np); raw device division is <= 2 ulp off IEEE.
+        t_edge = div_det(h_sx - x0f, h_b, _bar)
         y_edge = h_sy + _bar((h_ey - h_sy) * t_edge)
         edge_in = crosses_left & (y_edge >= y0f) & (y_edge < y0f + thf)
         plain = ((crosses_left & ~edge_in & four)
@@ -611,9 +655,10 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         fill_emit_plain = h_is_fill & ycull & plain
 
         # Clipped fill coords for the left-edge crossing (:339-344).
+        # (The clipped end-x is NOT shipped: the fill math needs only
+        # [sx, sy, ey] plus the per-segment m/K constants.)
         clip_sx = jnp.where(h_b > 0, h_sx, x0f)
         clip_sy = jnp.where(h_b > 0, h_sy, y_edge)
-        clip_ex = jnp.where(h_b > 0, x0f, h_ex)
         clip_ey = jnp.where(h_b > 0, y_edge, h_ey)
 
         # Stroke tests (:411-435 for polys; :223-247 for lines -- the line case
@@ -647,18 +692,28 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         # the fine kernel's row-cull threshold (ops/fine.py footprint
         # restriction; the oracle encoder mirrors it, raster/ptcl.py::line).
         slot0_args = slot0_args.at[:, 4].set(jnp.where(stroke_emit, h_hw, 0))
+        # Word 5: the per-segment inverse squared length (division-free
+        # fine math, cmd_math.py::line_field_sq) -- gathered with the
+        # record, computed once at the segment stage above.
+        slot0_args = slot0_args.at[:, 5].set(
+            jnp.where(stroke_emit, h_invd, 0))
 
         slot1_valid = fill_emit_edge | fill_emit_plain
         slot1_tag = jnp.full((max_hits,), CMD_FILL, jnp.int32)
         f1_sx = jnp.where(fill_emit_edge, clip_sx, h_sx)
         f1_sy = jnp.where(fill_emit_edge, clip_sy, h_sy)
-        f1_ex = jnp.where(fill_emit_edge, clip_ex, h_ex)
         f1_ey = jnp.where(fill_emit_edge, clip_ey, h_ey)
+        # Fill operands [sx, sy, ey, m, K] (division-free trapezoid math,
+        # cmd_math.py::fill_delta): the per-SEGMENT slope/Jacobian words,
+        # shared by plain and edge-clipped fills (a clipped sub-segment
+        # lies on the same line -- one definition, mirrored by the
+        # oracle's per-segment constants).
         slot1_args = jnp.zeros((max_hits, ARG_WORDS), f32)
         slot1_args = slot1_args.at[:, 0].set(f1_sx)
         slot1_args = slot1_args.at[:, 1].set(f1_sy)
-        slot1_args = slot1_args.at[:, 2].set(f1_ex)
-        slot1_args = slot1_args.at[:, 3].set(f1_ey)
+        slot1_args = slot1_args.at[:, 2].set(f1_ey)
+        slot1_args = slot1_args.at[:, 3].set(h_m)
+        slot1_args = slot1_args.at[:, 4].set(h_K)
 
         # Zero the args of non-emitting slots: the hit math produces NaN/Inf
         # there (0/0 from all-zero dead expansion rows; x/0 y_edge on live
@@ -697,66 +752,65 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
             stage_probe("cand_emit_alt", alt)
             stage_probe("cand_emit_inputs", kv, kk.astype(f32))
 
-    # ---- winding deltas (backdrop) ------------------------------------
+    # ---- winding deltas (backdrop), FOLDED into the hit records -------
+    # Round 5 (VERDICT r4 item 1): one crossing record per (fill
+    # segment, tile row), emitted from that row's dx == 0 hit record --
+    # the hit pipeline already decodes every (segment, row), so the
+    # former second full ``seg_all`` expansion (del_expand, 1.6 ms at
+    # 4K, the largest round-4 coarse stage) is gone; only the keyed
+    # +-1 sums and the prefix machinery remain.  The rect widening at
+    # ``seg_rects`` guarantees a dx == 0 record exists for every delta
+    # row.  (The reference derives backdrop in the same per-tile walk
+    # as the coverage commands, PietRender.metal:257-364.)
     stage_probe("cand_emit", cand_emit)
-    # Rows whose top edge y0 lies in [ymin, ymax] (see cpu_tiler backdrop
-    # mask); exact for power-of-two tile heights.
+    # Count-only diagnostic (rows whose top edge y0 lies in [ymin, ymax];
+    # exact for power-of-two tile heights).
     d_y_lo = jnp.maximum(jnp.ceil(xmn[:, 1] / thf).astype(jnp.int32), row0)
     d_y_hi = jnp.minimum(jnp.floor(xmx[:, 1] / thf).astype(jnp.int32),
                          row0 + tiles_y - 1)
-    delta_counts = jnp.where(is_fill_seg & (a != 0),
-                             jnp.maximum(d_y_hi - d_y_lo + 1, 0), 0)
-    del_excl, del_incl = _exclusive_cumsum(delta_counts)
-    n_deltas = del_incl[-1]
-    da = _db(exp_rows(
-        jnp.concatenate([seg_all, i2f(d_y_lo)[:, None],
-                         i2f(del_excl)[:, None]], axis=1),
-        delta_counts, max_deltas, del_excl))
-    stage_probe("del_expand", da)
-    df32 = da[:, :12]
-    di32 = jax.lax.bitcast_convert_type(da[:, 12:23], jnp.int32)
-    del_idx = jnp.arange(max_deltas, dtype=jnp.int32)
-    del_valid = del_idx < n_deltas
-    del_local = del_idx - jax.lax.bitcast_convert_type(da[:, 24], jnp.int32)
-    d_ty = jax.lax.bitcast_convert_type(da[:, 23], jnp.int32) + del_local
-    d_y0 = d_ty.astype(f32) * thf
-    d_a, d_b, d_c = df32[:, 4], df32[:, 5], df32[:, 6]
-    # Crossing column: first tx with sign(a*x0 + b*y0 + c) == sign(a).  The
-    # f32-evaluated expression is monotone in x0, so probe +-2 tiles around
-    # the analytic crossing to match the per-tile sign test bit-for-bit.
-    x_cross = -(_bar(d_b * d_y0) + d_c) / d_a
-    tx_guess = jnp.floor(x_cross / twf).astype(jnp.int32) + 1
-    sign_a = _sign(d_a)
+    n_deltas = jnp.sum(jnp.where(is_fill_seg & (a != 0),
+                                 jnp.maximum(d_y_hi - d_y_lo + 1, 0), 0))
+    if use_hitfuse:
+        d_val = fused["d_val"]
+        dk = jnp.where(hit_valid & (d_val != 0.0),
+                       fused["d_cand"].astype(jnp.int32), max_candidates)
+        delta_scatter = ksum(d_val[:, None], dk, klo, khi,
+                             max_candidates)[:, 0]
+    else:
+        # The record is a delta emitter iff it is the row's first column
+        # and the row's top edge lies inside the segment's y-span
+        # (y0 >= ymin <=> ty >= ceil(ymin/th), exactly, for power-of-two
+        # tile heights -- the round-4 delta stage's row condition).
+        del_ok = (h_is_fill & (h_a != 0.0) & (h_dx == 0)
+                  & (h_xmn[:, 1] <= y0f) & (h_xmx[:, 1] >= y0f)
+                  & (hi[:, 8] <= hi[:, 10]))
+        # Crossing column: first tx with sign(a*x0 + b*y0 + c) ==
+        # sign(a).  The f32-evaluated expression is monotone in x0, so
+        # probe +-2 tiles around the analytic crossing to match the
+        # per-tile sign test bit-for-bit (expressions verbatim from the
+        # round-4 delta stage).
+        x_cross = -(_bar(h_b * y0f) + h_c) / h_a
+        tx_guess = jnp.floor(x_cross / twf).astype(jnp.int32) + 1
+        sign_a = _sign(h_a)
 
-    def probe(dtx):
-        x0p = (tx_guess + dtx).astype(f32) * twf
-        return _sign(_bar(d_a * x0p) + _bar(d_b * d_y0) + d_c) == sign_a
+        def dprobe(dtx):
+            x0p = (tx_guess + dtx).astype(f32) * twf
+            return _sign(_bar(h_a * x0p) + _bar(h_b * y0f) + h_c) == sign_a
 
-    p_m1 = probe(-1)
-    p_0 = probe(0)
-    p_p1 = probe(1)
-    tx_c = jnp.where(p_m1, tx_guess - 1,
-                     jnp.where(p_0, tx_guess,
-                               jnp.where(p_p1, tx_guess + 1, tx_guess + 2)))
-    stage_probe("del_cross", tx_c)
-    d_value = -sign_a  # the reference's `backdrop -= s00` with s00 == sign(a)
-    # Scatter into candidate slots: clamp the crossing column into the item's
-    # bbox rect row; drop rows outside the rect or crossings right of it.
-    d_by0, d_bw, d_bx0 = di32[:, 6], di32[:, 7], di32[:, 8]
-    d_by1, d_bx1 = di32[:, 9], di32[:, 10]
-    in_rect_row = (d_ty >= d_by0) & (d_ty <= d_by1)
-    tx_eff = jnp.maximum(tx_c, d_bx0)
-    d_ok = del_valid & in_rect_row & (tx_eff <= d_bx1)
-    d_cand = di32[:, 5] + (d_ty - d_by0) * d_bw + (tx_eff - d_bx0)
-    # Same window contract as cand_emit: delta records are item-major and
-    # target their item's candidate range; values are +-1 (exact sums).
-    d_cand_end = di32[:, 5] + (di32[:, 9] - di32[:, 6] + 1) * di32[:, 7]
-    delta_scatter = ksum(
-        jnp.where(d_ok, d_value, 0.0)[:, None],
-        jnp.where(d_ok, d_cand, max_candidates),
-        jnp.where(del_valid, di32[:, 5], max_candidates),
-        jnp.where(del_valid, d_cand_end, max_candidates + 1),
-        max_candidates)[:, 0]
+        tx_c = jnp.where(dprobe(-1), tx_guess - 1,
+                         jnp.where(dprobe(0), tx_guess,
+                                   jnp.where(dprobe(1), tx_guess + 1,
+                                             tx_guess + 2)))
+        # Clamp the crossing column into the item's bbox rect row; drop
+        # crossings right of it.  d_value is the reference's
+        # `backdrop -= s00` with s00 == sign(a).
+        tx_eff = jnp.maximum(tx_c, hi[:, 8])
+        d_ok = del_ok & (tx_eff <= hi[:, 10])
+        d_cand = hi[:, 5] + (h_ty - hi[:, 6]) * hi[:, 7] + (tx_eff - hi[:, 8])
+        delta_scatter = ksum(
+            jnp.where(d_ok, -sign_a, 0.0)[:, None],
+            jnp.where(d_ok, d_cand, max_candidates),
+            klo, khi, max_candidates)[:, 0]
     stage_probe("del_scatter", delta_scatter)
     # Per-(item, row) prefix sum along tx: candidates are row-major per item,
     # so subtract the running total at each row start.  (cf/ci rows were
@@ -1223,7 +1277,8 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
             "seg_overflow": jnp.maximum(n_segs - max_segments, 0),
             "hit_overflow": jnp.maximum(n_hits - max_hits, 0),
             "cand_overflow": jnp.maximum(n_cand - max_candidates, 0),
-            "delta_overflow": jnp.maximum(n_deltas - max_deltas, 0),
+            "delta_overflow": jnp.int32(0),  # deltas ride the hit records
+            # (round-5 fold): no separate capacity to overflow.
         }
         if with_probes:
             diag["probes"] = probes
@@ -1281,7 +1336,8 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         "seg_overflow": jnp.maximum(n_segs - max_segments, 0),
         "hit_overflow": jnp.maximum(n_hits - max_hits, 0),
         "cand_overflow": jnp.maximum(n_cand - max_candidates, 0),
-        "delta_overflow": jnp.maximum(n_deltas - max_deltas, 0),
+        "delta_overflow": jnp.int32(0),  # deltas ride the hit records
+            # (round-5 fold): no separate capacity to overflow.
     }
     if with_probes:
         diag["probes"] = probes

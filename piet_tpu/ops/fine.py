@@ -460,11 +460,16 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                     df_s[:] = jnp.minimum(df_s[:],
                                           line_field_sq(s0arg, X, Y, bar))
                     if paired:
+                        # Paired second line: slot-1 word 4 carries
+                        # inv_denom (slot-0 word 5; see ops/pairing.py).
+                        def s1line(k):
+                            return s1arg(4 if k == 5 else k)
+
                         @pl.when(cmds_s[slot, blk, W_S1_TAG, lane]
                                  == float(CMD_LINE))
                         def _():
                             df_s[:] = jnp.minimum(
-                                df_s[:], line_field_sq(s1arg, X, Y, bar))
+                                df_s[:], line_field_sq(s1line, X, Y, bar))
 
             def fill_block(tag0, slot, blk, lane, s0arg, s1arg):
                 @pl.when(cmds_s[slot, blk, W_S1_TAG, lane] == float(CMD_FILL))

@@ -22,10 +22,13 @@ This kernel keeps a block of hit records in VMEM end to end:
 Bit-exactness: all f32 expressions are copied VERBATIM from
 ops/coarse.py (which matches raster/cpu_tiler.py).  Mosaic contracts no
 mul+add chains, so the XLA path's explicit optimization barriers are
-simply dropped.  The one division, t_edge = (sx - x0) / b, lowers to the
-same rcp-based sequence on both XLA:TPU and Mosaic (verified bitwise on
-chip by tools/div_probe.py); the divmod tile decode carries the residue
-correction of ops/coarse.py::_fdivmod and is exact regardless.
+simply dropped.  Every division (t_edge and the round-5 per-command
+fill/line constants m, K, inv_denom) rides cmd_math.py::div_det, whose
+exact-residual selection is seed-independent -- Mosaic's rcp-seeded
+quotient and XLA:TPU's agree bitwise anyway (tools/div_probe.py), and
+both match the numpy oracle's div_det_np by construction; the divmod
+tile decode carries the residue correction of ops/coarse.py::_fdivmod
+and is exact regardless.
 
 Output rows (per hit h, lane h % BLK of block h // BLK):
   0-15   the entry words (layout/entry_stream.py word map)
@@ -34,7 +37,9 @@ Output rows (per hit h, lane h % BLK of block h // BLK):
   18     hit_n_cmds (0/1/2)
   19     s_cand_excl (the item's first candidate slot)
   20     cand_end (one past the item's last candidate slot)
-  21-23  zero padding (tile-aligned block height)
+  21     d_val: winding-delta value (+-1; 0 = no delta -- round-5 fold)
+  22     d_cand: the delta's target candidate slot (0 when d_val == 0)
+  23     zero padding (tile-aligned block height)
 """
 
 from __future__ import annotations
@@ -48,14 +53,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..layout.entry_stream import META_CLEAR_BIT
 from ..raster.ptcl import CMD_FILL, CMD_FILL_EDGE, CMD_LINE
+from .cmd_math import div_det
 from .expand import BLK, WIN, _precompute
 
-#: Words per input segment row: 12 f32 geometry + 11 i32 + hit_excl.
-SEG_WORDS = 24
+#: Words per input segment row: 12 f32 geometry + 11 i32 + 3 per-segment
+#: division constants (inv_denom, m, K -- round-5 division-free fine
+#: math) + hit_excl.
+SEG_WORDS = 27
+#: Quarter-plane row count, padded to a sublane multiple: Mosaic rejects
+#: HBM slices whose leading (sublane) extent is not 8-aligned.
+QROWS = ((4 * SEG_WORDS + 7) // 8) * 8
 #: Output rows per block (21 live + 3 pad; f32 tile height 8 divides 24).
 OUT_ROWS = 24
 
 K_KEY, K_CAND, K_NCMDS, K_CEXCL, K_CEND = 16, 17, 18, 19, 20
+K_DVAL, K_DCAND = 21, 22
 
 
 def _hitfuse_kernel(lo_ref, nsub_ref, total_ref, row0_ref, rows_hbm,
@@ -169,8 +181,10 @@ def _hitfuse_kernel(lo_ref, nsub_ref, total_ref, row0_ref, rows_hbm,
         cexcl = word_i32(17)
         by0, bw, bx0, by1 = (word_i32(18), word_i32(19), word_i32(20),
                              word_i32(21))
-        # word 22 (s_bx1) is unused here; word 23 is hit_excl.
-        excl = word_i32(23)
+        # word 22 (s_bx1) is unused here; words 23-25 are the per-segment
+        # division constants; word 26 is hit_excl.
+        h_invd, h_m, h_K = word_f32(23), word_f32(24), word_f32(25)
+        excl = word_i32(26)
 
         # ---- tile decode (exact f32 divmod; ops/coarse.py::_fdivmod) --
         idx = p0 + jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
@@ -211,7 +225,9 @@ def _hitfuse_kernel(lo_ref, nsub_ref, total_ref, row0_ref, rows_hbm,
         s11 = jnp.sign(bot + right + h_c)
         four = s00 * s01 + s00 * s10 + s00 * s11 < f32(3.0)
         crosses_left = (xmn_x < x0f) & (xmx_x > x0f)
-        t_edge = (h_sx - x0f) / h_b
+        # div_det: matches the staged XLA path AND the numpy oracle
+        # bitwise (exact-residual division selection; cmd_math.py).
+        t_edge = div_det(h_sx - x0f, h_b, bar)
         y_edge = h_sy + bar((h_ey - h_sy) * t_edge)
         edge_in = crosses_left & (y_edge >= y0f) & (y_edge < y0f + thf)
         plain = ((crosses_left & ~edge_in & four)
@@ -222,7 +238,6 @@ def _hitfuse_kernel(lo_ref, nsub_ref, total_ref, row0_ref, rows_hbm,
 
         clip_sx = jnp.where(h_b > 0, h_sx, x0f)
         clip_sy = jnp.where(h_b > 0, h_sy, y_edge)
-        clip_ex = jnp.where(h_b > 0, x0f, h_ex)
         clip_ey = jnp.where(h_b > 0, y_edge, h_ey)
 
         # ---- exact stroke tests ----------------------------------------
@@ -249,12 +264,18 @@ def _hitfuse_kernel(lo_ref, nsub_ref, total_ref, row0_ref, rows_hbm,
         s0a2 = jnp.where(stroke_emit, h_ex, 0.0)
         s0a3 = jnp.where(stroke_emit, h_ey, 0.0)
         s0a4 = jnp.where(stroke_emit, h_hw, 0.0)
+        # Line word 5: the per-segment inverse squared length (gathered;
+        # verbatim ops/coarse.py).
+        s0a5 = jnp.where(stroke_emit, h_invd, 0.0)
 
         slot1_valid = fill_emit_edge | fill_emit_plain
         s1a0 = jnp.where(fill_emit_edge, clip_sx, h_sx)
         s1a1 = jnp.where(fill_emit_edge, clip_sy, h_sy)
-        s1a2 = jnp.where(fill_emit_edge, clip_ex, h_ex)
-        s1a3 = jnp.where(fill_emit_edge, clip_ey, h_ey)
+        # Fill operands [sx, sy, ey, m, K] (verbatim ops/coarse.py; the
+        # per-segment m/K words are shared by plain and clipped fills).
+        s1a2 = jnp.where(fill_emit_edge, clip_ey, h_ey)
+        s1a3 = h_m
+        s1a4 = h_K
 
         z = jnp.zeros((1, BLK), f32)
 
@@ -278,6 +299,31 @@ def _hitfuse_kernel(lo_ref, nsub_ref, total_ref, row0_ref, rows_hbm,
         key = jnp.where(
             live, (h_tile * stride + h_item * 2).astype(f32), jnp.inf)
 
+        # ---- winding-delta emission (round-5 fold) ---------------------
+        # One crossing per (fill segment, tile row), from the row's
+        # dx == 0 record -- expressions verbatim from ops/coarse.py's
+        # staged branch (which carries the rationale).
+        bx1 = word_i32(22)
+        del_ok = (h_is_fill & (h_a != 0.0) & (h_dx == 0)
+                  & (xmn_y <= y0f) & (xmx_y >= y0f) & (bx0 <= bx1))
+        x_cross = -(bar(h_b * y0f) + h_c) / h_a
+        tx_guess = jnp.floor(x_cross / twf).astype(jnp.int32) + 1
+        sign_a = jnp.sign(h_a)
+
+        def dprobe(dtx):
+            x0p = (tx_guess + dtx).astype(f32) * twf
+            return jnp.sign(bar(h_a * x0p) + bar(h_b * y0f) + h_c) == sign_a
+
+        tx_c = jnp.where(dprobe(-1), tx_guess - 1,
+                         jnp.where(dprobe(0), tx_guess,
+                                   jnp.where(dprobe(1), tx_guess + 1,
+                                             tx_guess + 2)))
+        tx_eff = jnp.maximum(tx_c, bx0)
+        d_ok = del_ok & (tx_eff <= bx1)
+        d_cand = cexcl + (h_ty - by0) * bw + (tx_eff - bx0)
+        d_val = jnp.where(d_ok, -sign_a, 0.0)
+        d_cand_f = jnp.where(d_ok, d_cand.astype(f32), 0.0)
+
         def put(k, v):
             out_ref[0, k:k + 1, :] = v
 
@@ -287,14 +333,14 @@ def _hitfuse_kernel(lo_ref, nsub_ref, total_ref, row0_ref, rows_hbm,
         put(3, gate0(s0a2))
         put(4, gate0(s0a3))
         put(5, gate0(s0a4))
-        put(6, z)
+        put(6, gate0(s0a5))
         put(7, z)
         put(8, tag1)                                  # W_S1_TAG
         put(9, gate1(s1a0))
         put(10, gate1(s1a1))
         put(11, gate1(s1a2))
         put(12, gate1(s1a3))
-        put(13, z)
+        put(13, gate1(s1a4))
         put(14, meta)                                 # W_META
         put(15, z)                                    # W_RUN (set later)
         put(K_KEY, key)
@@ -302,8 +348,8 @@ def _hitfuse_kernel(lo_ref, nsub_ref, total_ref, row0_ref, rows_hbm,
         put(K_NCMDS, n_cmds.astype(f32))
         put(K_CEXCL, cexcl.astype(f32))
         put(K_CEND, cand_end.astype(f32))
-        put(21, z)
-        put(22, z)
+        put(K_DVAL, d_val)
+        put(K_DCAND, d_cand_f)
         put(23, z)
 
 
@@ -341,8 +387,10 @@ def hit_records_fused(seg_rows: jax.Array, counts: jax.Array,
 
     s_pad = (S // WIN + 2) * WIN
     pad = s_pad - S
-    # Transposed quarter planes: (96, S_pad), hits ride lanes downstream.
-    rows_T = jnp.pad(rows_f, ((0, pad), (0, 0))).T
+    # Transposed quarter planes: (QROWS, S_pad); hits ride lanes
+    # downstream.
+    rows_T = jnp.pad(jnp.pad(rows_f, ((0, pad), (0, 0))).T,
+                     ((0, QROWS - 4 * W), (0, 0)))
 
     dead = jnp.float32(cap_pad)
     bounds = jnp.stack(
@@ -365,9 +413,9 @@ def hit_records_fused(seg_rows: jax.Array, counts: jax.Array,
                                lambda b, lo, ns, t, r0: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((3, 4 * SEG_WORDS, WIN), jnp.bfloat16),
+            pltpu.VMEM((3, QROWS, WIN), jnp.bfloat16),
             pltpu.VMEM((3, 8, WIN), jnp.float32),
-            pltpu.VMEM((4 * SEG_WORDS, BLK), jnp.float32),
+            pltpu.VMEM((QROWS, BLK), jnp.float32),
             pltpu.SemaphoreType.DMA((6,)),
         ],
     )
@@ -387,4 +435,5 @@ def hit_records_fused(seg_rows: jax.Array, counts: jax.Array,
 
     return {"rows": rows, "key": col(K_KEY), "h_cand": col(K_CAND),
             "n_cmds": col(K_NCMDS), "cexcl": col(K_CEXCL),
-            "cand_end": col(K_CEND)}
+            "cand_end": col(K_CEND), "d_val": col(K_DVAL),
+            "d_cand": col(K_DCAND)}

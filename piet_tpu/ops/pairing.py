@@ -119,11 +119,15 @@ def pair_entries(rows: jax.Array, keys: Tuple[jax.Array, ...],
     merged = rows
     mpf = (has_partner & pf)[:, None]
     mln = (has_partner & ln)[:, None]
-    # F2: own fill moves slot1 -> slot0; partner fill lands in slot1.
-    for k in range(4):
+    # F2: own fill moves slot1 -> slot0; partner fill lands in slot1
+    # (all 5 fill words [sx, sy, ey, m, K]).  L2: the partner line's
+    # words map [sx, sy, ex, ey, inv_denom] = slot-0 words [0,1,2,3,5]
+    # onto slot-1 words 0..4 (word 4 = hw is unused by the line math;
+    # the fine kernel's paired-line reader remaps 5 -> 4, ops/fine.py).
+    for k in range(5):
         own_s1 = rows[:, W_S1_ARG + k]
         part_s1 = nxt[:, W_S1_ARG + k]
-        part_s0 = nxt[:, W_S0_ARG + k]
+        part_s0 = nxt[:, W_S0_ARG + (k if k < 4 else 5)]
         col0 = jnp.where(mpf[:, 0], own_s1, rows[:, W_S0_ARG + k])
         col1 = jnp.where(mpf[:, 0], part_s1,
                          jnp.where(mln[:, 0], part_s0,

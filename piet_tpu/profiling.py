@@ -47,9 +47,8 @@ STAGE_ORDER = (
     "hit_gather",     # packed per-segment attribute row gather
     "hit_tests",      # exact per-record f32 sign tests + slot args
     "cand_emit",      # per-candidate emitted-command counts
-    "del_expand",     # winding-delta record expansion
-    "del_cross",      # crossing-column probes
-    "del_scatter",    # keyed delta sums into candidate slots
+    "del_scatter",    # keyed delta sums (crossings ride the hit records
+                      # -- the round-5 fold; no separate expansion)
     "deltas",         # backdrop prefix sums
     "rows",           # pre-sort 16-word row assembly
     "sort",           # the global stable sort

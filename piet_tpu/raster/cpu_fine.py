@@ -80,15 +80,17 @@ def render_tile(tags: np.ndarray, args: np.ndarray, count: int,
             rgb = rgb * (F(1.0) - alpha)[..., None]  # mix toward black
         elif tag == CMD_LINE:
             sx, sy, ex, ey = (F(v) for v in av[:4])
+            inv_denom = F(av[5])
             lvx, lvy = ex - sx, ey - sy
             dpx, dpy = X - sx, Y - sy
-            denom = lvx * lvx + lvy * lvy
-            # Degenerate (zero-length) segments render as dots (t=0) rather
-            # than relying on the reference's NaN-dropping fmin behavior
-            # (PietRender.metal:52 would produce NaN there) -- NaN semantics
-            # differ between numpy/jnp minimum, so we define this case.
-            t = _saturate((lvx * dpx + lvy * dpy)
-                          / denom) if denom > 0 else np.zeros_like(X)
+            # Division-free (round 5): word 5 carries the per-command
+            # div_det(1, |v|^2); +inf marks a degenerate (zero-length)
+            # segment, rendered as a dot (t=0) rather than relying on the
+            # reference's NaN-dropping fmin behavior (PietRender.metal:52
+            # would produce NaN there).  Mirrors cmd_math.line_field_sq
+            # op-for-op.
+            t = (_saturate((lvx * dpx + lvy * dpy) * inv_denom)
+                 if np.isfinite(inv_denom) else np.zeros_like(X))
             fx = lvx * t - dpx
             fy = lvy * t - dpy
             field = np.sqrt(fx * fx + fy * fy, dtype=F)
@@ -102,35 +104,40 @@ def render_tile(tags: np.ndarray, args: np.ndarray, count: int,
             rgb = rgb + (fg[None, None, :3] - rgb) * w
             df = np.full_like(df, DF_INIT)
         elif tag == CMD_FILL:
-            sx, sy, ex, ey = (F(v) for v in av[:4])
-            rsx, rsy = sx - X, sy - Y
-            rex, rey = ex - X, ey - Y
+            # Division-free trapezoid coverage (round 5): operands are
+            # [sx, sy, ey, m, K] with m = div_det(dx, dy) and
+            # K = div_det(-dy, |dx|) precomputed per command (ptcl.py).
+            # Mirrors cmd_math.fill_delta op-for-op; rationale there.
+            sx, sy, ey, m, K = (F(v) for v in av[:5])
+            rsy = sy - Y
+            rey = ey - Y
             w0 = _saturate(rsy)
             w1 = _saturate(rey)
             mask = w0 != w1
-            with np.errstate(divide="ignore", invalid="ignore"):
-                dy = rey - rsy
-                t0 = (w0 - rsy) / dy
-                t1 = (w1 - rsy) / dy
-                xs0 = rsx + (rex - rsx) * t0
-                xs1 = rsx + (rex - rsx) * t1
-                xmin = np.minimum(np.minimum(xs0, xs1), F(1.0)) - F(1e-6)
-                xmax = np.maximum(xs0, xs1)
-                bq = np.minimum(xmax, F(1.0))
-                cq = np.maximum(bq, F(0.0))
-                dq = np.maximum(xmin, F(0.0))
-                a_cov = (bq + F(0.5) * (dq * dq - cq * cq) - xmin) / (xmax - xmin)
+            with np.errstate(invalid="ignore", over="ignore"):
+                wa = np.minimum(w0, w1)
+                wb = np.maximum(w0, w1)
+                rx = sx - X
+                ua = rx + m * (wa - rsy)
+                ub = rx + m * (wb - rsy)
+                umin = np.minimum(ua, ub)
+                umax = np.maximum(ua, ub)
+
+                def Fint(u):
+                    c = _saturate(u)
+                    return np.minimum(u, F(1.0)) - F(0.5) * (c * c)
+
+                delta = ((Fint(umax) - Fint(umin)) * K).astype(F)
                 # Degenerate-column guard, WIDER than the reference's 1e-6
                 # fudge (PietRender.metal:517-519, acknowledged "might be
-                # inadequate"): near-vertical edges make the quadratic
-                # formula a ratio of two ~1e-6 cancellations, where a 1-ulp
-                # input perturbation swings coverage by O(1).  For spans
-                # below 1e-4 we substitute the analytic vertical-edge limit
-                # 1 - clamp(x, 0, 1); its error is < 5e-5 coverage
-                # (invisible at 8 bits) and it is stable.
-                a_cov = np.where(xmax - xmin > F(1e-4), a_cov,
-                                 F(1.0) - _saturate(xs0))
-                delta = (a_cov * (w0 - w1)).astype(F)
+                # inadequate"): near-vertical edges would make the
+                # reference's quadratic a ratio of two ~1e-6 cancellations.
+                # For x-spans below 1e-4 substitute the analytic
+                # vertical-edge limit (1 - clamp(u0)) * (w0 - w1); its
+                # error is < 5e-5 coverage (invisible at 8 bits).
+                u0 = np.where(w0 <= w1, ua, ub)
+                deg = ((F(1.0) - _saturate(u0)) * (w0 - w1)).astype(F)
+                delta = np.where(umax - umin > F(1e-4), delta, deg)
             area = np.where(mask, area + delta, area)
         elif tag == CMD_FILL_EDGE:
             sgn, ye = F(av[0]), F(av[1])

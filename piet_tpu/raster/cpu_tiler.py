@@ -38,7 +38,8 @@ from ..scene.scene import (FLAG_BRUSH_LINEAR, FLAG_BRUSH_RADIAL,
                            FLAG_IN_GROUP, FLAG_POP_LAYER,
                            Scene, TAG_CIRCLE, TAG_CLIP, TAG_FILL, TAG_LAYER,
                            TAG_LINE, TAG_POLY, TAG_POP)
-from .ptcl import Ptcl, TileCmdEncoder, assemble_ptcl
+from .ptcl import (Ptcl, TileCmdEncoder, assemble_ptcl, div_det_np,
+                   dot2_det_np)
 
 F = np.float32
 
@@ -53,6 +54,13 @@ class _ItemSegs:
     a: np.ndarray      # (S,)
     b: np.ndarray
     c: np.ndarray
+    # Per-segment constants of the division-free fine math (round 5;
+    # ops/cmd_math.py module doc), computed ONCE per segment through the
+    # deterministic division selection -- the device coarse pass derives
+    # the same values in its segment stage and ships them in the wire.
+    inv_denom: np.ndarray  # div_det(1, |v|^2); +inf on zero-length segs
+    m: np.ndarray          # div_det(dx, dy), zeroed when non-finite
+    K: np.ndarray          # div_det(-dy, |dx|), zeroed when non-finite
 
 
 def _segments(points: np.ndarray, wrap: bool) -> _ItemSegs:
@@ -66,9 +74,18 @@ def _segments(points: np.ndarray, wrap: bool) -> _ItemSegs:
     a = end[:, 1] - start[:, 1]
     b = start[:, 0] - end[:, 0]
     c = -(a * start[:, 0] + b * start[:, 1])
+    lvx = end[:, 0] - start[:, 0]
+    lvy = end[:, 1] - start[:, 1]
+    inv_denom = div_det_np(np.ones_like(lvx), dot2_det_np(lvx, lvy))
+    with np.errstate(invalid="ignore"):
+        m = np.asarray(div_det_np(lvx, lvy))
+        K = np.asarray(div_det_np(-lvy, np.abs(lvx)))
+    m = np.where(np.isfinite(m), m, F(0.0))
+    K = np.where(np.isfinite(K), K, F(0.0))
     return _ItemSegs(start=start, end=end,
                      xymin=np.minimum(start, end), xymax=np.maximum(start, end),
-                     a=a, b=b, c=c)
+                     a=a, b=b, c=c, inv_denom=np.asarray(inv_denom),
+                     m=m, K=K)
 
 
 def _fill_coverage(enc: TileCmdEncoder, seg: _ItemSegs,
@@ -84,6 +101,7 @@ def _fill_coverage(enc: TileCmdEncoder, seg: _ItemSegs,
     start, end = s.start[idx], s.end[idx]
     xymin, xymax = s.xymin[idx], s.xymax[idx]
     a, b, c = s.a[idx], s.b[idx], s.c[idx]
+    s_m, s_K = s.m[idx], s.K[idx]
 
     left = a * x0
     right = a * (x0 + tw)
@@ -103,7 +121,10 @@ def _fill_coverage(enc: TileCmdEncoder, seg: _ItemSegs,
 
     crosses_left = (xymin[:, 0] < x0) & (xymax[:, 0] > x0)
     with np.errstate(divide="ignore", invalid="ignore"):
-        t_edge = (start[:, 0] - x0) / b
+        # div_det_np: the intercept is a PTCL operand the device computes
+        # with the exact-residual division selection (ops/coarse.py);
+        # the oracle mirrors it bitwise.
+        t_edge = div_det_np(start[:, 0] - x0, b)
         y_edge = start[:, 1] + (end[:, 1] - start[:, 1]) * t_edge
     edge_in_tile = crosses_left & (y_edge >= y0) & (y_edge < y0 + th)
 
@@ -115,13 +136,18 @@ def _fill_coverage(enc: TileCmdEncoder, seg: _ItemSegs,
     for k in range(idx.size):
         if edge_in_tile[k]:
             enc.fill_edge(s00[k], y_edge[k])
+            # Clipped sub-segments carry the SEGMENT's m/K (the slope of
+            # a line is the line's; one shared per-segment definition).
             if b[k] > 0.0:
-                enc.fill(start[k, 0], start[k, 1], x0, y_edge[k])
+                enc.fill(start[k, 0], start[k, 1], x0, y_edge[k],
+                         m=s_m[k], K=s_K[k])
             else:
-                enc.fill(x0, y_edge[k], end[k, 0], end[k, 1])
+                enc.fill(x0, y_edge[k], end[k, 0], end[k, 1],
+                         m=s_m[k], K=s_K[k])
             any_fill = True
         elif plain_a[k] or plain_b[k]:
-            enc.fill(start[k, 0], start[k, 1], end[k, 0], end[k, 1])
+            enc.fill(start[k, 0], start[k, 1], end[k, 0], end[k, 1],
+                     m=s_m[k], K=s_K[k])
             any_fill = True
 
     return any_fill, backdrop
@@ -184,7 +210,7 @@ def _poly_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int, width: F,
     any_stroke = False
     for k in np.nonzero(keep)[0]:
         enc.line(s.start[k, 0], s.start[k, 1], s.end[k, 0], s.end[k, 1],
-                 ycull=hw)
+                 ycull=hw, inv_denom=s.inv_denom[k])
         any_stroke = True
     if any_stroke:
         enc.stroke(color, width, clip=clip)
@@ -204,7 +230,7 @@ def _line_tile(enc: TileCmdEncoder, seg: _ItemSegs, color: int, width: F,
     s11 = np.sign(bot + right + seg.c)
     if (s00 * s01 + s00 * s10 + s00 * s11 < F(3.0))[0]:
         enc.line(seg.start[0, 0], seg.start[0, 1], seg.end[0, 0],
-                 seg.end[0, 1], ycull=hw)
+                 seg.end[0, 1], ycull=hw, inv_denom=seg.inv_denom[0])
         enc.stroke(color, width, clip=clip)
 
 

@@ -23,12 +23,20 @@ PietRender.metal:503,541,548).  Words 8-11 of every DRAW command carry the
 item's clip rectangle (piet clip extension; the no-clip default rect is
 huge, making the coverage multiply an exact *1.0):
   Circle   [x0, y0, x1, y1, -, -, -, -, cx0, cy0, cx1, cy1]
-  Line     [x0, y0, x1, y1]
-  Fill     [x0, y0, x1, y1]
+  Line     [x0, y0, x1, y1, hw+0.5, inv_denom]
+  Fill     [x0, y0, y1, m, K]
   Stroke   [halfWidth, r, g, b, a, -, -, -, cx0, cy0, cx1, cy1]
   FillEdge [sign, y]
   DrawFill [backdrop, r, g, b, a, even_odd, -, -, cx0, cy0, cx1, cy1]
   Solid    [r, g, b, a, -, -, -, -, cx0, cy0, cx1, cy1]
+
+The Line/Fill per-command constants (round 5, the division-free fine
+math -- ops/cmd_math.py module doc): inv_denom = div_det(1, |v|^2)
+(+inf for zero-length segments), m = div_det(x1-x0, y1-y0) (x slope per
+unit y), K = div_det(-(y1-y0), |x1-x0|) (window Jacobian carrying the
+winding sign).  All three ride ``div_det_np`` -- the numpy mirror of the
+device's exact-residual division selection -- so coarse outputs and the
+oracle agree bitwise.
 """
 
 from __future__ import annotations
@@ -75,6 +83,64 @@ ARG_WORDS = 12
 #: "No clip" rectangle: huge bounds make the clip-coverage multiply an
 #: exact *1.0 (X+1 - X is exact in f32 for viewport coordinates).
 NO_CLIP = (-1e9, -1e9, 1e9, 1e9)
+
+_F = np.float32
+
+
+def div_det_np(a, b):
+    """Numpy mirror of ops/cmd_math.py::div_det (bitwise; see there).
+
+    Seeded with numpy's IEEE quotient; the exact-residual candidate
+    selection is seed-independent, so this returns the same bits as the
+    device's rcp-seeded selection for every (a, b).  Vectorized over
+    arrays; scalar inputs return a python float."""
+    a_arr = np.atleast_1d(np.asarray(a, _F))
+    b_arr = np.atleast_1d(np.asarray(b, _F))
+    a_arr, b_arr = np.broadcast_arrays(a_arr, b_arr)
+    a_arr = np.ascontiguousarray(a_arr, _F)
+    b_arr = np.ascontiguousarray(b_arr, _F)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        q0 = a_arr / b_arr
+        cb = b_arr * _F(4097.0)
+        bh = cb - (cb - b_arr)
+        bl = b_arr - bh
+        u0 = q0.view(np.uint32)
+        best_q = q0.copy()
+        best_r = np.full_like(q0, np.inf)
+        best_even = np.zeros(q0.shape, bool)
+        for delta in (-3, -2, -1, 0, 1, 2, 3):
+            q = (u0 + np.uint32(delta & 0xFFFFFFFF)).view(_F)
+            cq = q * _F(4097.0)
+            qh = cq - (cq - q)
+            ql = q - qh
+            r = np.abs((((a_arr - qh * bh) - qh * bl) - ql * bh) - ql * bl)
+            even = (q.view(np.uint32) & np.uint32(1)) == 0
+            take = (r < best_r) | ((r == best_r) & even & ~best_even)
+            best_q = np.where(take, q, best_q)
+            best_even = np.where(take, even, best_even)
+            best_r = np.where(take, r, best_r)
+        ok = (b_arr != 0.0) & np.isfinite(q0)
+        out = np.where(ok, best_q, q0).astype(_F)
+    if np.ndim(a) == 0 and np.ndim(b) == 0:
+        return float(out[0])
+    return out.reshape(np.broadcast_shapes(np.shape(a), np.shape(b)))
+
+
+def dot2_det_np(x, y):
+    """Numpy mirror of ops/cmd_math.py::dot2_det (see there)."""
+    x = np.asarray(x, _F)
+    y = np.asarray(y, _F)
+
+    def sq(v):
+        c = v * _F(4097.0)
+        h = c - (c - v)
+        l = v - h
+        return h * h, _F(2.0) * (h * l), l * l
+
+    with np.errstate(over="ignore", invalid="ignore"):
+        xh, xm, xl = sq(x)
+        yh, ym, yl = sq(y)
+        return ((xh + xm) + xl) + ((yh + ym) + yl)
 
 
 @dataclasses.dataclass
@@ -137,13 +203,20 @@ class TileCmdEncoder:
                    + [float(v) for v in clip])
 
     def line(self, x0: float, y0: float, x1: float, y1: float,
-             ycull: float = 0.0) -> None:
+             ycull: float = 0.0, inv_denom=None) -> None:
         """``ycull``: the emitting stroke's hw + 0.5 in arg word 4 --
         unused by the fine math, consumed by the Pallas kernel's row cull
-        (ops/fine.py footprint restriction)."""
+        (ops/fine.py footprint restriction).  Word 5 is the per-SEGMENT
+        inverse squared length (division-free fine math; module doc) --
+        passed in by the tiler (computed once per segment), or derived
+        here from the endpoints when omitted."""
         self.solid_color = 0
+        if inv_denom is None:
+            lvx = _F(x1) - _F(x0)
+            lvy = _F(y1) - _F(y0)
+            inv_denom = div_det_np(1.0, dot2_det_np(lvx, lvy))
         self._push(CMD_LINE, [float(x0), float(y0), float(x1), float(y1),
-                              float(ycull)])
+                              float(ycull), float(inv_denom)])
 
     def stroke(self, rgba: int, width: float, clip=NO_CLIP) -> None:
         self.solid_color = 0
@@ -151,11 +224,27 @@ class TileCmdEncoder:
         self._push(CMD_STROKE, [hw] + self._rgba_linear(rgba) + [0.0] * 3
                    + [float(v) for v in clip])
 
-    def fill(self, x0: float, y0: float, x1: float, y1: float) -> None:
+    def fill(self, x0: float, y0: float, x1: float, y1: float,
+             m=None, K=None) -> None:
         # Fill coverage commands don't clear bail state by themselves
         # (TileEncoder.encodeFill leaves solidColor untouched,
         # PietRender.metal:102-109); the DrawFill that follows does.
-        self._push(CMD_FILL, [float(x0), float(y0), float(x1), float(y1)])
+        # Operands are [sx, sy, ey, m, K] -- the endpoint pair reduced to
+        # the per-SEGMENT constants of the division-free trapezoid math
+        # (ops/cmd_math.py::fill_delta), passed in by the tiler (the slope
+        # of a clipped sub-segment is the SEGMENT's slope -- one shared
+        # definition), or derived from the endpoints when omitted.
+        # Degenerate segments (dy == 0: masked everywhere; dx == 0: the
+        # degenerate-column guard path, which reads neither constant)
+        # carry zeroed constants so the wire stays finite/deterministic.
+        if m is None:
+            dx = _F(x1) - _F(x0)
+            dy = _F(y1) - _F(y0)
+            m = div_det_np(dx, dy)
+            K = div_det_np(-dy, np.abs(dx))
+        m = float(m) if np.isfinite(m) else 0.0
+        K = float(K) if np.isfinite(K) else 0.0
+        self._push(CMD_FILL, [float(x0), float(y0), float(y1), m, K])
 
     def fill_edge(self, sign: float, y: float) -> None:
         self._push(CMD_FILL_EDGE, [float(sign), float(y)])

@@ -97,9 +97,18 @@ def count_records(scene, config: RenderConfig):
                                  np.where(is_line, sb[3], st_y_hi)), sb[3])
     r_w = np.maximum(r_x_hi - r_x_lo + 1, 0)
     r_h = np.maximum(r_y_hi - r_y_lo + 1, 0)
+    a = p1[:, 1] - p0[:, 1]
+    # Round-5 delta fold: fill segments whose column range is empty but
+    # whose rows carry winding deltas get one forced column (identical
+    # widening in ops/coarse.py; rationale there).
+    widen = (is_fill & (a != 0) & (r_w == 0) & (r_h > 0)
+             & (sb[0] <= sb[2]))
+    wcol = np.clip(fx_lo, sb[0], sb[2])
+    r_x_lo = np.where(widen, wcol, r_x_lo)
+    r_x_hi = np.where(widen, wcol, r_x_hi)
+    r_w = np.where(widen, 1, r_w)
     n_hits = int((r_w * r_h).sum())
 
-    a = p1[:, 1] - p0[:, 1]
     d_y_lo = np.maximum(np.ceil(xmn[:, 1] / thf).astype(np.int32), 0)
     d_y_hi = np.minimum(np.floor(xmx[:, 1] / thf).astype(np.int32),
                         tiles_y - 1)

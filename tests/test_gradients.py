@@ -110,7 +110,10 @@ def test_render_matches_oracle_xla():
     from piet_tpu.renderer.renderer import Renderer
     gold = cpu_render_scene(scene, cfg)
     img = Renderer(cfg, fine_impl="xla").render(scene)
-    np.testing.assert_array_equal(img, gold)
+    # Bit-exact up to XLA:CPU's FMA contraction (tests/_imgcmp.py);
+    # strict on chip (tests/test_tpu_exact.py::test_gradient_scene...).
+    from tests._imgcmp import assert_images_match
+    assert_images_match(img, gold)
 
 
 def test_render_matches_oracle_entries():
@@ -122,7 +125,8 @@ def test_render_matches_oracle_entries():
     from piet_tpu.renderer.renderer import Renderer
     gold = cpu_render_scene(scene, cfg)
     img = Renderer(cfg, fine_impl="pallas", interpret=True).render(scene)
-    np.testing.assert_array_equal(img, gold)
+    from tests._imgcmp import assert_images_match
+    assert_images_match(img, gold)
 
 
 def test_gradient_inside_clip_group():
@@ -139,7 +143,8 @@ def test_gradient_inside_clip_group():
     from piet_tpu.renderer.renderer import Renderer
     gold = cpu_render_scene(scene, cfg)
     img = Renderer(cfg, fine_impl="pallas", interpret=True).render(scene)
-    np.testing.assert_array_equal(img, gold)
+    from tests._imgcmp import assert_images_match
+    assert_images_match(img, gold)
     # Outside the clip triangle: background white.
     assert (img[250, 5] == [255, 255, 255, 255]).all()
     # Inside: gradient color, not white.

@@ -48,11 +48,10 @@ def test_render_matches_golden(name, make, cfg):
     img = r.render(scene)
     gold = cpu_render_scene(scene, cfg)
     # Bit-exact up to XLA:CPU's discretionary FMA contraction (see
-    # tests/test_fine.py); on TPU the full pipeline is bit-exact
+    # tests/_imgcmp.py); on TPU the full pipeline is bit-exact
     # (tests/test_tpu_exact.py).
-    diff = np.abs(img.astype(np.int32) - gold.astype(np.int32))
-    assert diff.max() <= 2, f"maxdiff {diff.max()}"
-    assert (diff.max(-1) > 0).mean() < 1e-4
+    from tests._imgcmp import assert_images_match
+    assert_images_match(img, gold)
 
 
 def test_render_deterministic():

@@ -92,24 +92,20 @@ def test_full_renderer_bit_exact_on_tpu():
 
 
 def test_full_renderer_bit_exact_on_tpu_32row_tiles():
-    """PRODUCTION tile geometry (32x128): the residual-noise contract.
+    """PRODUCTION tile geometry (32x128): STRICT equality, restored.
 
     cmd_capacity sizes the ORACLE's per-tile lists (the entry stream has
     no per-tile capacity); 32-row tiles hold ~2x the commands, so it must
     be large enough that the oracle itself does not truncate.
 
-    Exactness state after the round-4 structural fix (polynomial sRGB
-    encode + ieee_sqrt): the ONLY remaining device-vs-oracle delta is the
-    fill/line coverage DIVISIONS' <= 2 ulp non-IEEE rounding
-    (ops/cmd_math.py policy), ~1e-7 of coverage, which flips a u8 code
-    only when a pixel's value lands within that distance of a rounding
-    boundary.  Measured here: 3 / 262144 channel values, each by 1 code
-    (down from the pre-fix sqrt+srgb noise).  16-row tiles measure zero
-    on these scenes (the strict tests above); the boundary-hit population
-    is scene/geometry luck, not a property of the tile height.  Making
-    the divisions exact (candidate-selection like ieee_sqrt, ~60 ops per
-    division on the hot fill path) is the round-5 decision -- this test
-    pins the interim contract: <= 1 code, <= 0.005% of channel values."""
+    History: round 4 measured 3/262144 channel values one code off here
+    and pinned an interim <=1-code contract -- the residual was the fill/
+    line coverage DIVISIONS' <= 2 ulp non-IEEE device rounding.  Round 5
+    removed every division from the per-pixel fine math (the per-segment
+    m/K/inv_denom constants ride the wire through the deterministic
+    div_det selection; ops/cmd_math.py module doc), so the device is
+    bit-identical to the oracle at every tile geometry by construction
+    and this test is back to assert_array_equal."""
     import numpy as np
 
     from piet_tpu.config import RenderConfig
@@ -125,10 +121,7 @@ def test_full_renderer_bit_exact_on_tpu_32row_tiles():
     with jax.default_device(_tpu_device()):
         img = Renderer(cfg, fine_impl="pallas").render(scene)
     gold = cpu_render_scene(scene, cfg)
-    diff = np.abs(img.astype(int) - gold.astype(int))
-    assert diff.max() <= 1, f"max code diff {diff.max()}"
-    frac = (diff > 0).mean()
-    assert frac <= 5e-5, f"{frac:.4%} of channel values differ"
+    np.testing.assert_array_equal(img, gold)
 
 
 def test_clip_layer_scene_exact_on_tpu():
