@@ -294,6 +294,10 @@ def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
         "max_tile_cmds": coarse.counts.max(),
         "overflow_cmds": overflow_cmds,
         "bail_tiles": bail2d.sum(),
+        # Fine-stage work unit of the dense path (commands interpreted
+        # post-bail) -- the per-device balance metric for sharded runs
+        # (tools/mesh_balance.py); the entries path reports live_entries.
+        "live_cmds": coarse.counts.sum(),
         **coarse.diag,
     }
     return img, stats
