@@ -137,6 +137,17 @@ def unpack_scene(buf: jax.Array, config: RenderConfig) -> DeviceScene:
     )
 
 
+def _vec_stats(stats: Dict) -> Dict:
+    """Reshape every scalar stat to (1,): a 0-d OUTPUT of a jitted step
+    costs ~+0.45 ms/step through the tunneled backend regardless of how
+    many there are (measured, tools/dispatch_probe.py out_0d vs out_1d1:
+    0.62 vs 0.21 ms/step for identical math) -- most of what the round-4
+    profiler called the per-step dispatch floor.  Probe sub-dicts
+    (profiler-only) pass through untouched."""
+    return {k: (v if isinstance(v, dict) else jnp.asarray(v).reshape(-1))
+            for k, v in stats.items()}
+
+
 def _solid_to_present_u32(solid: jax.Array) -> jax.Array:
     """Logical 0xRRGGBBAA -> packed framebuffer u32 (R in low byte), i.e.
     the raw sRGB bytes the present fast path writes (PietRender.metal:34-44).
@@ -278,7 +289,7 @@ def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
             "bail_tiles": bail2d.sum(),
             **coarse.diag,
         }
-        return img, stats
+        return img, _vec_stats(stats)
     # Present composite: bailed tiles take their solid color bytes
     # (reference present fast path, PietRender.metal:34-44).
     solid2d = coarse.solid.reshape(tiles_y, tiles_x)
@@ -300,7 +311,7 @@ def render_slab(scene: DeviceScene, config: RenderConfig, *, tiles_y: int,
         "live_cmds": coarse.counts.sum(),
         **coarse.diag,
     }
-    return img, stats
+    return img, _vec_stats(stats)
 
 
 def make_render_fn(config: RenderConfig, interpret: bool = False,

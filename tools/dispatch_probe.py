@@ -75,15 +75,14 @@ def main() -> None:
     run("null_0in", jax.jit(lambda: jnp.int32(7)))
     run("out_1", jax.jit(lambda x: x + 1), small)
     run("out_12", jax.jit(lambda x: tuple(x + i for i in range(12))), small)
-
-    @jax.jit
-    def donated(x):
-        return (x.at[0].add(1),)[0]
-    # Donation needs a fresh buffer each step; approximate with the
-    # non-donated form plus an explicit copy-free chain: feed the output
-    # back in (true donated chaining).
-    run("chain_self", jax.jit(lambda x: x + 1, donate_argnums=0),
-        jnp.zeros_like(small))
+    # The first probe round measured returning a () SCALAR at ~0.86
+    # ms/step vs ~0.2 for a (128,) vector from the same input -- the
+    # floor looked like a 0-d-output artifact of the tunneled backend.
+    # Differential: same math, output rank 0 vs rank 1.
+    run("out_0d", jax.jit(lambda x: (x + 1)[0]), small)
+    run("out_1d1", jax.jit(lambda x: (x + 1)[:1]), small)
+    run("out_12x0d", jax.jit(
+        lambda x: tuple((x + i)[0] for i in range(12))), small)
 
     if args.skip_render:
         print(json.dumps(results), flush=True)
