@@ -215,10 +215,15 @@ def test_engine_path_bit_identical_on_tpu():
         engine_set("pallas:expand,gatherm")
     assert "gatherm" not in engine_set("pallas")[0]
 
+    # Deliberately LOOSE caps (dead-slot logic on hardware) but sized so
+    # the bitonic sort pads to 2^16, not 2^18: the old max_hits=1<<17
+    # compiled a 2^18 network -- ~40 min per engine variant, the
+    # round-4/5 suite's wall-clock bomb (ops/sort.py::PALLAS_SORT_MAX
+    # rationale).  Live counts for this scene are ~4x smaller than these.
     cfg = RenderConfig(width=224, height=224, tile_height=16,
                        tile_width=128, cmd_capacity=2688, max_items=512,
                        max_points=1 << 15, max_segments=1 << 15,
-                       max_hits=1 << 17, max_candidates=1 << 14,
+                       max_hits=1 << 15, max_candidates=1 << 14,
                        max_deltas=1 << 15)
     scene = make_tiger(scale=1.0)
     kw = dict(tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,

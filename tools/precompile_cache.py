@@ -87,7 +87,7 @@ def _exactness_cfg(name):
         cfg = RenderConfig(width=224, height=224, tile_height=16,
                            tile_width=128, cmd_capacity=2688, max_items=512,
                            max_points=1 << 15, max_segments=1 << 15,
-                           max_hits=1 << 17, max_candidates=1 << 14,
+                           max_hits=1 << 15, max_candidates=1 << 14,
                            max_deltas=1 << 15)
         return make_tiger(scale=1.0), cfg, "engine"
     raise KeyError(name)
