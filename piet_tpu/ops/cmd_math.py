@@ -303,7 +303,7 @@ def clip_alpha(x, even_odd, bar):
     return jnp.where(even_odd != 0.0, eo, nz)
 
 
-def make_commands(X, Y, bar, cov=None):
+def make_commands(X, Y, bar, cov=None, rect_clip=True):
     """Build the 7 command evaluators over pixel grids X, Y.
 
     Each takes ``(arg, r, g, b, df, area)`` where ``arg(k)`` returns scalar
@@ -317,12 +317,22 @@ def make_commands(X, Y, bar, cov=None):
 
     ``cov``: optional thunk returning the current clip-STACK coverage
     plane (the arbitrary-path clip extension); every draw's alpha is
-    multiplied by it.  When the plane is all-1.0 (no open clip) the
-    multiply is an exact bitwise no-op.  None = no clip stacks (1.0).
+    multiplied by it.  When the plane is all-1.0 (no open clip) that
+    multiply is an exact bitwise no-op -- so ``cov=None`` SKIPS it
+    entirely, bitwise identically; the Pallas kernel's fast resolve path
+    uses that when no clip group is open.  ``rect_clip=False`` likewise
+    skips the rect-coverage computation and multiply -- bitwise
+    identical for draws whose rect is the NO_CLIP sentinel (the
+    META_CLIP_BIT gate, layout/entry_stream.py).
     """
-    if cov is None:
-        def cov():
-            return jnp.float32(1.0)
+    def apply_cov(arg, alpha):
+        """alpha * rect coverage * stack coverage, with exact no-op
+        factors skipped at trace time."""
+        if rect_clip:
+            alpha = alpha * clip_cov(arg)
+        if cov is not None:
+            alpha = alpha * cov()
+        return alpha
 
     def clip_cov(arg):
         cx0, cy0, cx1, cy1 = arg(8), arg(9), arg(10), arg(11)
@@ -338,7 +348,7 @@ def make_commands(X, Y, bar, cov=None):
         dy = Y - cy
         rad = ieee_sqrt(bar(dx * dx) + bar(dy * dy), bar)
         circle_r = jnp.minimum(cx - bx0, cy - by0)
-        alpha = _saturate(circle_r - rad) * clip_cov(arg) * cov()
+        alpha = apply_cov(arg, _saturate(circle_r - rad))
         # Blend toward black: color is never encoded for circles
         # (PietRender.metal:488-492).
         keep = 1.0 - alpha
@@ -357,7 +367,7 @@ def make_commands(X, Y, bar, cov=None):
     def cmd_stroke(arg, r, g, b, df, area):
         half_width = arg(0)
         fr, fg, fb, fa = arg(1), arg(2), arg(3), arg(4)
-        alpha = _saturate(half_width + 0.5 - df) * clip_cov(arg) * cov()
+        alpha = apply_cov(arg, _saturate(half_width + 0.5 - df))
         w = bar(fa * alpha)
         r, g, b = _blend(r, g, b, fr, fg, fb, w)
         return r, g, b, jnp.full_like(df, DF_INIT), area
@@ -377,7 +387,7 @@ def make_commands(X, Y, bar, cov=None):
         # behavior), 1 = even-odd (piet FillRule::EvenOdd; the reference
         # has only the comment formula, PietRender.metal:543).  2*round(x/2)
         # is exact in f32, so the even-odd branch is FMA-immune.
-        alpha = clip_alpha(x, arg(5), bar) * clip_cov(arg) * cov()
+        alpha = apply_cov(arg, clip_alpha(x, arg(5), bar))
         w = bar(fa * alpha)
         r, g, b = _blend(r, g, b, fr, fg, fb, w)
         return r, g, b, df, jnp.zeros_like(area)
@@ -385,7 +395,7 @@ def make_commands(X, Y, bar, cov=None):
     def cmd_solid(arg, r, g, b, df, area):
         fr, fg, fb, fa = arg(0), arg(1), arg(2), arg(3)
         r, g, b = _blend(r, g, b, fr, fg, fb,
-                         fa * (clip_cov(arg) * cov()))
+                         fa * apply_cov(arg, jnp.float32(1.0)))
         return r, g, b, df, area
 
     return (cmd_circle, cmd_line, cmd_fill, cmd_stroke, cmd_fill_edge,
@@ -401,11 +411,9 @@ def make_grad_commands(X, Y, bar, cov=None):
     g1)| * g2).  Color/alpha lerp c0 -> c1 in LINEAR space, then the
     DrawFill nonzero-winding blend (gradient draws carry no rect clip --
     the payload rides those words -- but the clip-STACK coverage ``cov``
-    still applies).  The numpy oracle mirrors this op order exactly
-    (raster/cpu_fine.py)."""
-    if cov is None:
-        def cov():
-            return jnp.float32(1.0)
+    still applies; ``cov=None`` skips that multiply, bitwise identical
+    when no clip group is open).  The numpy oracle mirrors this op order
+    exactly (raster/cpu_fine.py)."""
 
     def _grad(radial):
         def cmd(arg, r, g, b, df, area):
@@ -421,7 +429,9 @@ def make_grad_commands(X, Y, bar, cov=None):
             fb = arg(6) + bar((arg(10) - arg(6)) * t)
             fa = arg(7) + bar((arg(11) - arg(7)) * t)
             x = area + arg(0)
-            alpha = jnp.minimum(jnp.abs(x), 1.0) * cov()
+            alpha = jnp.minimum(jnp.abs(x), 1.0)
+            if cov is not None:
+                alpha = alpha * cov()
             w = bar(fa * alpha)
             r = r + bar((fr - r) * w)
             g = g + bar((fg - g) * w)

@@ -156,7 +156,11 @@ def profile_render(scene, config: RenderConfig, *, fine_impl: str = "auto",
         def run(d):
             out = coarse_rasterize(d, with_probes=True, **kw)
             pr = out.diag["probes"]
-            return sum(pr[n] for n in names if n in pr)
+            # (1,)-shaped: a 0-d jit output costs ~+0.45 ms/step through
+            # the tunnel (tools/dispatch_probe.py out_0d) -- rank-1
+            # outputs keep prefix timings honest, matching the
+            # production step (renderer._vec_stats).
+            return sum(pr[n] for n in names if n in pr).reshape(1)
 
         return run
 
@@ -181,7 +185,9 @@ def profile_render(scene, config: RenderConfig, *, fine_impl: str = "auto",
     # ABSOLUTE values include it, stage DIFFERENCES cancel it.
     @jax.jit
     def null_fn(d):
-        return d.tags[0]
+        # Rank-1 output (see prefix_fn): the rank-0 form measured the
+        # tunnel's 0-d-output stall, not the dispatch cost.
+        return d.tags[:1]
 
     prefix_fns = [null_fn] + [prefix_fn(k) for k in stage_ks]
     for f in prefix_fns:
