@@ -186,7 +186,7 @@ def main() -> int:
     name, make, w, h = headline
     ms, cfg, stats = _bench_config(name, make(), w, h)
     mpix_s = (w * h) / (ms * 1e-3) / 1e6
-    segs_s = float(stats.get("n_segments", 0)) / (ms * 1e-3)
+    segs_s = float(np.asarray(stats.get("n_segments", 0)).sum()) / (ms * 1e-3)
 
     # Roofline (piet_tpu/roofline.py): per-stage speed-of-light floors
     # from the frame's record counts vs v5e HBM/VPU peaks, plus measured
@@ -210,8 +210,8 @@ def main() -> int:
         "timing": "pipelined, fetch-synced, sync-cost subtracted, median",
         "fill_mpix_per_s": round(mpix_s, 1),
         "segments_binned_per_s": round(segs_s, 0),
-        "n_segments": int(stats.get("n_segments", 0)),
-        "max_tile_cmds": int(stats.get("max_tile_cmds", 0)),
+        "n_segments": int(np.asarray(stats.get("n_segments", 0)).sum()),
+        "max_tile_cmds": int(np.asarray(stats.get("max_tile_cmds", 0)).max()),
         "configs": results,
     }
     if roofline is not None:

@@ -53,16 +53,10 @@ W_RUN = 15      #: run word: +L = L-entry plain-fill run starts here,
                 #: reset can land there).  Capped at RUN_CAP.
 W_PAD = W_RUN   #: historical name (the word was zero padding pre-run)
 
-#: META word bit layout (held exactly in f32: values < 2^5).
+#: META word bit layout (held exactly in f32: values < 2^4).
 META_NCMDS_MASK = 0b11   #: live command count of this entry (0..2)
 META_OPAQUE_BIT = 1 << 2 #: entry is an opaque solid (enables tile bail)
 META_CLEAR_BIT = 1 << 3  #: entry clears accumulator state (stroke/draw end)
-META_CLIP_BIT = 1 << 4   #: candidate rows: the draw carries a REAL rect
-                         #: clip (not the NO_CLIP sentinel).  The fine
-                         #: kernel's resolve fast path skips the
-                         #: rect-coverage multiply when clear -- for the
-                         #: sentinel that multiply is an exact *1.0, so
-                         #: skipping it is bitwise identical.
 
 #: Maximum encoded run length (exact in f32 with huge margin; bounds the
 #: fine kernel's single-dispatch batch).

@@ -56,8 +56,7 @@ import jax
 import jax.numpy as jnp
 
 from ..layout.entry_stream import (ENTRY_WORDS, META_CLEAR_BIT,
-                                   META_CLIP_BIT, META_NCMDS_MASK,
-                                   META_OPAQUE_BIT, RUN_CAP,
+                                   META_NCMDS_MASK, META_OPAQUE_BIT, RUN_CAP,
                                    W_BAIL, W_META, W_RUN, W_S0_TAG, W_S1_TAG)
 from ..raster.ptcl import (ARG_WORDS, CMD_CIRCLE, CMD_DRAW_FILL, CMD_FILL,
                            CMD_FILL_EDGE, CMD_LINE, CMD_SOLID, CMD_STROKE)
@@ -999,11 +998,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         cand_tag0 = jnp.where(cand_cmd_valid, cand_tag, 0)
         cand_meta = (cand_cmd_valid.astype(jnp.int32)
                      | is_opaque_solid.astype(jnp.int32) * META_OPAQUE_BIT
-                     | cand_is_clear.astype(jnp.int32) * META_CLEAR_BIT
-                     # Real rect clip present (fine fast-path gate; the
-                     # NO_CLIP sentinel's coverage multiply is an exact
-                     # *1.0 -- c_uncl tests exactly that sentinel).
-                     | (~c_uncl).astype(jnp.int32) * META_CLIP_BIT)
+                     | cand_is_clear.astype(jnp.int32) * META_CLEAR_BIT)
         cand_rows = jnp.concatenate(
             [cand_tag0.astype(f32)[:, None],             # W_S0_TAG
              cand_args[:, :7],                           # W_S0_ARG + 0..6

@@ -43,8 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..layout.entry_stream import (ENTRY_WORDS, META_CLIP_BIT, W_META,
-                                   W_RUN, W_S0_ARG, W_S0_TAG,
+from ..layout.entry_stream import (ENTRY_WORDS, W_RUN, W_S0_ARG, W_S0_TAG,
                                    W_S1_ARG, W_S1_TAG)
 from ..raster.ptcl import (ARG_WORDS, CMD_BEGIN_CLIP, CMD_BEGIN_LAYER,
                            CMD_CIRCLE, CMD_DRAW_FILL, CMD_END_CLIP,
@@ -346,17 +345,10 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
 
         # Draw resolves multiply the clip-STACK coverage plane (group
         # extension); unclipped tiles read the constant-1.0 plane 0 (an exact
-        # bitwise no-op multiply).  FAST variants skip BOTH exact-no-op
-        # multiplies -- the rect-coverage chain (~10 vector ops) when the
-        # entry's META_CLIP_BIT is clear (rect == the NO_CLIP sentinel)
-        # and the stack-coverage multiply when no clip group is open
-        # (depth 0: the plane is the all-ones initialization).  Bitwise
-        # identical by construction (cmd_math.make_commands doc).
-        cov_thunk = lambda: cov_s[depth_s[0]]  # noqa: E731
-        cmds = make_commands(X, Y, bar, cov=cov_thunk)
-        cmds_fast = make_commands(X, Y, bar, cov=None, rect_clip=False)
-        grad_lin, grad_rad = make_grad_commands(X, Y, bar, cov=cov_thunk)
-        grad_lin_f, grad_rad_f = make_grad_commands(X, Y, bar, cov=None)
+        # bitwise no-op multiply).
+        cmds = make_commands(X, Y, bar, cov=lambda: cov_s[depth_s[0]])
+        grad_lin, grad_rad = make_grad_commands(
+            X, Y, bar, cov=lambda: cov_s[depth_s[0]])
         shp = (tile_h, tile_w)
 
         # ---- state in VMEM scratch -----------------------------------------
@@ -459,7 +451,7 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                 else:
                     fill_block(tag0, slot, blk, lane, s0arg, s1arg)
 
-                resolve_block(tag0, slot, blk, lane, s0arg)
+                resolve_block(tag0, s0arg)
                 group_block(tag0, s0arg)
 
             def line_block(tag0, slot, blk, lane, s0arg, s1arg):
@@ -494,7 +486,7 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                     mask, delta = fill_delta(s1arg, X, Y, bar)
                     area_s[:] = jnp.where(mask, area_s[:] + delta, area_s[:])
 
-            def resolve_block(tag0, slot, blk, lane, s0arg):
+            def resolve_block(tag0, s0arg):
                 # Each resolve class under its own predicate, writing ONLY
                 # the planes it changes, in place.  The previous structure (a
                 # lax.switch whose branches returned ALL FIVE state planes,
@@ -504,55 +496,34 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                 # (tools/arg_delivery_bench.py disp16).  Arithmetic is
                 # cmd_math's evaluators unchanged: bitwise identical.
                 # make_commands order: circle, line, fill, stroke, fill_edge,
-                # draw_fill, solid.  Each class dispatches its FAST variant
-                # (no rect/stack coverage multiplies) when the entry is
-                # unclipped and no clip group is open -- the common case.
-                def fast_pred():
-                    meta = cmds_s[slot, blk, W_META, lane].astype(jnp.int32)
-                    return (((meta & META_CLIP_BIT) == 0)
-                            & (depth_s[0] == 0))
-
-                def dual(tag, body):
-                    @pl.when(tag0 == tag)
-                    def _():
-                        fast = fast_pred()
-
-                        @pl.when(fast)
-                        def _():
-                            body(cmds_fast)
-
-                        @pl.when(jnp.logical_not(fast))
-                        def _():
-                            body(cmds)
-
-                def circle_body(cv):
-                    r2, g2, b2, _, _ = cv[0](s0arg, r_s[:], g_s[:], b_s[:],
-                                             df_s[:], area_s[:])
+                # draw_fill, solid.
+                @pl.when(tag0 == CMD_CIRCLE)
+                def _():
+                    r2, g2, b2, _, _ = cmds[0](s0arg, r_s[:], g_s[:], b_s[:],
+                                               df_s[:], area_s[:])
                     r_s[:], g_s[:], b_s[:] = r2, g2, b2
 
-                def stroke_body(cv):
+                @pl.when(tag0 == CMD_STROKE)
+                def _():
                     # Un-square the accumulated field (exact; see above).
                     df = ieee_sqrt(df_s[:], bar)
-                    r2, g2, b2, _, _ = cv[3](s0arg, r_s[:], g_s[:], b_s[:],
-                                             df, area_s[:])
+                    r2, g2, b2, _, _ = cmds[3](s0arg, r_s[:], g_s[:], b_s[:],
+                                               df, area_s[:])
                     r_s[:], g_s[:], b_s[:] = r2, g2, b2
                     df_s[:] = jnp.full(shp, DF2_INIT, jnp.float32)
 
-                def draw_fill_body(cv):
-                    r2, g2, b2, _, area2 = cv[5](s0arg, r_s[:], g_s[:],
-                                                 b_s[:], df_s[:], area_s[:])
+                @pl.when(tag0 == CMD_DRAW_FILL)
+                def _():
+                    r2, g2, b2, _, area2 = cmds[5](s0arg, r_s[:], g_s[:],
+                                                   b_s[:], df_s[:], area_s[:])
                     r_s[:], g_s[:], b_s[:] = r2, g2, b2
                     area_s[:] = area2
 
-                def solid_body(cv):
-                    r2, g2, b2, _, _ = cv[6](s0arg, r_s[:], g_s[:], b_s[:],
-                                             df_s[:], area_s[:])
+                @pl.when(tag0 == CMD_SOLID)
+                def _():
+                    r2, g2, b2, _, _ = cmds[6](s0arg, r_s[:], g_s[:], b_s[:],
+                                               df_s[:], area_s[:])
                     r_s[:], g_s[:], b_s[:] = r2, g2, b2
-
-                dual(CMD_CIRCLE, circle_body)
-                dual(CMD_STROKE, stroke_body)
-                dual(CMD_DRAW_FILL, draw_fill_body)
-                dual(CMD_SOLID, solid_body)
 
             def group_block(tag0, s0arg):
                 # -- clip / layer group commands (extension; rare) -----------
@@ -603,21 +574,13 @@ def _fine_entries_kernel(first_ref, n_ref, solid_ref, row0_ref, stream_hbm,
                         r_s[:], g_s[:], b_s[:] = r2, g2, b2
                         area_s[:] = area2
 
-                    # Gradient fast variants: skip the stack-coverage
-                    # multiply when no clip group is open (exact no-op).
-                    def _grad_dual(tag, fast, slow):
-                        @pl.when(tag0 == tag)
-                        def _():
-                            @pl.when(depth_s[0] == 0)
-                            def _():
-                                _apply_grad(fast)
+                    @pl.when(tag0 == CMD_DRAW_LIN_GRAD)
+                    def _():
+                        _apply_grad(grad_lin)
 
-                            @pl.when(depth_s[0] != 0)
-                            def _():
-                                _apply_grad(slow)
-
-                    _grad_dual(CMD_DRAW_LIN_GRAD, grad_lin_f, grad_lin)
-                    _grad_dual(CMD_DRAW_RAD_GRAD, grad_rad_f, grad_rad)
+                    @pl.when(tag0 == CMD_DRAW_RAD_GRAD)
+                    def _():
+                        _apply_grad(grad_rad)
 
                     # Winding carry (multi-subpath fill extension): a CONT
                     # subpath's interior backdrop; resolved by the group's

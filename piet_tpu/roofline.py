@@ -35,6 +35,8 @@ headroom, not "try harder on the same structure" (see ROADMAP).
 
 from __future__ import annotations
 
+import numpy as np
+
 from typing import Dict
 
 HBM_BYTES_PER_S = 819e9
@@ -51,8 +53,8 @@ OPS_RESOLVE = 80.0
 
 def fine_model(stats: Dict, *, tile_h: int, tile_w: int,
                n_tiles: int) -> Dict[str, float]:
-    live_entries = float(stats.get("live_entries", 0))
-    bail_tiles = float(stats.get("bail_tiles", 0))
+    live_entries = float(np.asarray(stats.get("live_entries", 0)).sum())
+    bail_tiles = float(np.asarray(stats.get("bail_tiles", 0)).sum())
     live_tiles = max(n_tiles - bail_tiles, 0.0)
     px = live_tiles * tile_h * tile_w
     bytes_moved = live_entries * ENTRY_BYTES + px * 4.0
@@ -64,10 +66,10 @@ def coarse_model(stats: Dict, *, max_hits: int, max_candidates: int,
                  max_deltas: int) -> Dict[str, float]:
     import math
 
-    n_hits = float(stats.get("n_hits", 0))
-    n_cand = float(stats.get("n_candidates", 0))
-    n_deltas = float(stats.get("n_deltas", 0))
-    n_segs = float(stats.get("n_segments", 0))
+    n_hits = float(np.asarray(stats.get("n_hits", 0)).sum())
+    n_cand = float(np.asarray(stats.get("n_candidates", 0)).sum())
+    n_deltas = float(np.asarray(stats.get("n_deltas", 0)).sum())
+    n_segs = float(np.asarray(stats.get("n_segments", 0)).sum())
     records = n_hits + n_cand + n_deltas
     # Expansion write + sorted gather read + sort in/out: 4 crossings of
     # the 16-word row per record; segment derivation reads its point
