@@ -149,6 +149,11 @@ class DeviceScene(NamedTuple):
     clips: jax.Array       # (NI, 4) f32 clip rect (piet clip extension)
     grads: jax.Array       # (NI, 8) f32 gradient-brush payload (extension)
     n_items: jax.Array     # () int32
+    #: Optional host-precomputed segment stage (renderer/segstage.py;
+    #: bitwise-identical to the device derivation).  None on paths whose
+    #: geometry is computed inside the jit (device animation, shards) --
+    #: the coarse pass then derives segments on device as before.
+    seg_pre: object = None
 
 
 class CoarseEntries(NamedTuple):
@@ -371,210 +376,237 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         cand_tile = (cand_ty - row0) * tiles_x + cand_tx
     stage_probe("cand_expand", cand_tile)
 
-    # ---- segment derivation ------------------------------------------
-    # Fill items: n wrap-around segments; poly: n-1; line: 1; circle: 0.
-    # All per-item attributes a segment needs ride one expansion row
-    # (separate 1-D gathers price per gather op on the scalar core: 15
-    # gathers at 128k indices cost ~30 ms; one packed expansion ~0.1 ms).
-    is_fill_item = (tags == TAG_FILL) | (tags == TAG_CLIP)
-    seg_counts = jnp.where(
-        is_fill_item, scene.n_pts,
-        jnp.where(tags == TAG_POLY, jnp.maximum(scene.n_pts - 1, 0),
-                  jnp.where(tags == TAG_LINE, 1, 0)))
-    seg_excl, seg_incl = _exclusive_cumsum(seg_counts)
-    n_segs = seg_incl[-1]
-    np_max = scene.points.shape[0] - 1
-    # The item's FIRST point rides the expansion row (words 12-13): it is
-    # the fill wrap-around endpoint (i1 = pt_offset at the last segment,
-    # src/lib.rs:195-207 wrap semantics), letting the engine path below
-    # fetch p1 from the monotone stream i0+1 alone.  NI-sized gather:
-    # ~30x smaller than the per-segment gathers it replaces.
-    first_pt = scene.points[jnp.clip(scene.pt_offset, 0, np_max)]
-    item_rows = jnp.concatenate(
-        [jax.lax.bitcast_convert_type(item_pack, f32),
-         scene.widths[:, None], i2f(seg_excl)[:, None],
-         i2f(item_ids)[:, None], first_pt], axis=1)      # (NI, 14)
-    sitem_f = _db(exp_rows(item_rows, seg_counts, max_segments, seg_excl))
-    stage_probe("seg_expand", sitem_f)
-    sitem = jax.lax.bitcast_convert_type(sitem_f[:, :9], jnp.int32)
-    seg_idx = jnp.arange(max_segments, dtype=jnp.int32)
-    seg_valid = seg_idx < n_segs
-    seg_local = seg_idx - jax.lax.bitcast_convert_type(
-        sitem_f[:, 10], jnp.int32)
-    seg_item = jax.lax.bitcast_convert_type(sitem_f[:, 11], jnp.int32)
-    s_tag = sitem[:, 0]
-    s_npts = sitem[:, 1]
-    s_ptoff = sitem[:, 2]
-    s_cand_excl = sitem[:, 3]
-    s_bx0, s_by0, s_bx1, s_by1, s_bw = (sitem[:, 4], sitem[:, 5],
-                                        sitem[:, 6], sitem[:, 7],
-                                        sitem[:, 8])
-    i0 = s_ptoff + seg_local
-    s_is_fill_tag = (s_tag == TAG_FILL) | (s_tag == TAG_CLIP)
-    wrap = s_is_fill_tag & (seg_local + 1 == s_npts)
-    if "gatherm" in engines:
-        # Endpoint fetch on the monotone-gather engine (ops/gatherm.py):
-        # i0 is nondecreasing across live segments (items in encode
-        # order, each walking its point block front to back), and so is
-        # i0 + 1; the only non-monotone endpoint -- the fill wrap-around
-        # i1 = pt_offset -- comes from the carried per-item first point.
-        # Dead slots pin to np_max (monotone; gathered row unused).
-        i0_g = jnp.where(seg_valid, jnp.clip(i0, 0, np_max), np_max)
-        j1_g = jnp.where(seg_valid, jnp.clip(i0 + 1, 0, np_max), np_max)
-        p0e, p1n = gather_monotone(
-            scene.points, (i0_g, j1_g), interpret=eng_interp)
-        p1e = jnp.where(wrap[:, None], sitem_f[:, 12:14], p1n)
+    sp = getattr(scene, "seg_pre", None)
+    if sp is None:
+        # ---- segment derivation ------------------------------------------
+        # Fill items: n wrap-around segments; poly: n-1; line: 1; circle: 0.
+        # All per-item attributes a segment needs ride one expansion row
+        # (separate 1-D gathers price per gather op on the scalar core: 15
+        # gathers at 128k indices cost ~30 ms; one packed expansion ~0.1 ms).
+        is_fill_item = (tags == TAG_FILL) | (tags == TAG_CLIP)
+        seg_counts = jnp.where(
+            is_fill_item, scene.n_pts,
+            jnp.where(tags == TAG_POLY, jnp.maximum(scene.n_pts - 1, 0),
+                      jnp.where(tags == TAG_LINE, 1, 0)))
+        seg_excl, seg_incl = _exclusive_cumsum(seg_counts)
+        n_segs = seg_incl[-1]
+        np_max = scene.points.shape[0] - 1
+        # The item's FIRST point rides the expansion row (words 12-13): it is
+        # the fill wrap-around endpoint (i1 = pt_offset at the last segment,
+        # src/lib.rs:195-207 wrap semantics), letting the engine path below
+        # fetch p1 from the monotone stream i0+1 alone.  NI-sized gather:
+        # ~30x smaller than the per-segment gathers it replaces.
+        first_pt = scene.points[jnp.clip(scene.pt_offset, 0, np_max)]
+        item_rows = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(item_pack, f32),
+             scene.widths[:, None], i2f(seg_excl)[:, None],
+             i2f(item_ids)[:, None], first_pt], axis=1)      # (NI, 14)
+        sitem_f = _db(exp_rows(item_rows, seg_counts, max_segments, seg_excl))
+        stage_probe("seg_expand", sitem_f)
+        sitem = jax.lax.bitcast_convert_type(sitem_f[:, :9], jnp.int32)
+        seg_idx = jnp.arange(max_segments, dtype=jnp.int32)
+        seg_valid = seg_idx < n_segs
+        seg_local = seg_idx - jax.lax.bitcast_convert_type(
+            sitem_f[:, 10], jnp.int32)
+        seg_item = jax.lax.bitcast_convert_type(sitem_f[:, 11], jnp.int32)
+        s_tag = sitem[:, 0]
+        s_npts = sitem[:, 1]
+        s_ptoff = sitem[:, 2]
+        s_cand_excl = sitem[:, 3]
+        s_bx0, s_by0, s_bx1, s_by1, s_bw = (sitem[:, 4], sitem[:, 5],
+                                            sitem[:, 6], sitem[:, 7],
+                                            sitem[:, 8])
+        i0 = s_ptoff + seg_local
+        s_is_fill_tag = (s_tag == TAG_FILL) | (s_tag == TAG_CLIP)
+        wrap = s_is_fill_tag & (seg_local + 1 == s_npts)
+        if "gatherm" in engines:
+            # Endpoint fetch on the monotone-gather engine (ops/gatherm.py):
+            # i0 is nondecreasing across live segments (items in encode
+            # order, each walking its point block front to back), and so is
+            # i0 + 1; the only non-monotone endpoint -- the fill wrap-around
+            # i1 = pt_offset -- comes from the carried per-item first point.
+            # Dead slots pin to np_max (monotone; gathered row unused).
+            i0_g = jnp.where(seg_valid, jnp.clip(i0, 0, np_max), np_max)
+            j1_g = jnp.where(seg_valid, jnp.clip(i0 + 1, 0, np_max), np_max)
+            p0e, p1n = gather_monotone(
+                scene.points, (i0_g, j1_g), interpret=eng_interp)
+            p1e = jnp.where(wrap[:, None], sitem_f[:, 12:14], p1n)
+        else:
+            # ONE row gather delivers both endpoints: pair_rows[k] =
+            # (pt_k, pt_{k+1}), p1 from the +1 column, the fill wrap-around
+            # from the carried per-item first point (bit-identical to
+            # points[where(wrap, ptoff, i0+1)] -- the carried word IS
+            # points[ptoff]).  Two separate 2-word-row gathers measured
+            # 5.1 ms at beziers_10k's 203k segments (round-4 profile,
+            # seg_points); row-gather cost is per ROW, so pairing halves it
+            # and the wider row vectorizes better.
+            nxt = jnp.concatenate([scene.points[1:], scene.points[-1:]],
+                                  axis=0)
+            pair_rows = jnp.concatenate([scene.points, nxt], axis=1)
+            pr = pair_rows[jnp.clip(i0, 0, np_max)]
+            p0e = pr[:, 0:2]
+            p1e = jnp.where(wrap[:, None], sitem_f[:, 12:14], pr[:, 2:4])
+        # Dead slots zero on BOTH paths so every downstream word (and the
+        # profiler's stage probes) is impl-independent.
+        p0, p1 = _db(jnp.where(seg_valid[:, None], p0e, 0.0),
+                     jnp.where(seg_valid[:, None], p1e, 0.0))
+        stage_probe("seg_points", p0, p1)
+        sx, sy = p0[:, 0], p0[:, 1]
+        ex, ey = p1[:, 0], p1[:, 1]
+        a = ey - sy
+        b = sx - ex
+        c = -(_bar(a * sx) + _bar(b * sy))
+        xmn = jnp.minimum(p0, p1)
+        xmx = jnp.maximum(p0, p1)
+        s_hw = f32(0.5) * sitem_f[:, 9] + f32(0.5)
+        is_fill_seg = seg_valid & s_is_fill_tag
+        is_stroke_seg = seg_valid & ((s_tag == TAG_POLY) | (s_tag == TAG_LINE))
+        stage_probe("seg_derive", a, b, c)
+
+        # ---- per-segment emission rects ----------------------------------
+        # Fill: exact solve of the reference's x/y-extent conditions (tile dims
+        # are powers of two so // and f32 / are exact).  Stroke: inflated rect
+        # with +-1 slop (the inflation adds round in f32; the exact per-record
+        # cull re-filters).  Line items: the item bbox rect (the reference
+        # applies no segment-level cull for single lines, :223-247).
+        def _range_x_fill():
+            lo = jnp.floor(xmn[:, 0] / twf).astype(jnp.int32)
+            hi = jnp.ceil(xmx[:, 0] / twf).astype(jnp.int32) - 1
+            return lo, hi
+
+        def _range_y_fill():
+            lo = jnp.floor(xmn[:, 1] / thf).astype(jnp.int32)
+            hi = jnp.floor(xmx[:, 1] / thf).astype(jnp.int32)
+            return lo, hi
+
+        fx_lo, fx_hi = _range_x_fill()
+        fy_lo, fy_hi = _range_y_fill()
+        # Stroke rects: the f32 divisions can be off by an ulp at exact tile
+        # boundaries, so the floor/ceil bound alone could miss an edge tile.
+        # Instead of a blanket +-1 ring (which inflates stroke hits ~2-4x for
+        # short segments), probe the one boundary tile with the SAME f32 cull
+        # expressions the per-record test uses -- the result is exactly the
+        # set of tiles the cull can pass, still a guaranteed superset.
+        def _stroke_range(lo_v, hi_v, dim, step):
+            lo = jnp.floor(lo_v / step).astype(jnp.int32)
+            hi = jnp.ceil(hi_v / step).astype(jnp.int32) - 1
+
+            def passes(t):
+                o = t.astype(f32) * step
+                return ((xmx[:, dim] > o - s_hw)
+                        & (xmn[:, dim] < o + step + s_hw))
+
+            lo = jnp.where(passes(lo - 1), lo - 1, lo)
+            hi = jnp.where(passes(hi + 1), hi + 1, hi)
+            return lo, hi
+
+        st_x_lo, st_x_hi = _stroke_range(xmn[:, 0] - s_hw, xmx[:, 0] + s_hw,
+                                         0, twf)
+        st_y_lo, st_y_hi = _stroke_range(xmn[:, 1] - s_hw, xmx[:, 1] + s_hw,
+                                         1, thf)
+
+        is_line_item = s_tag == TAG_LINE
+        r_x_lo = jnp.where(is_fill_seg, fx_lo,
+                           jnp.where(is_line_item, s_bx0, st_x_lo))
+        r_x_hi = jnp.where(is_fill_seg, fx_hi,
+                           jnp.where(is_line_item, s_bx1, st_x_hi))
+        r_y_lo = jnp.where(is_fill_seg, fy_lo,
+                           jnp.where(is_line_item, s_by0, st_y_lo))
+        r_y_hi = jnp.where(is_fill_seg, fy_hi,
+                           jnp.where(is_line_item, s_by1, st_y_hi))
+        # Clip to the item's bbox rect (the reference's per-tile `hit` gate).
+        r_x_lo = jnp.maximum(r_x_lo, s_bx0)
+        r_x_hi = jnp.minimum(r_x_hi, s_bx1)
+        r_y_lo = jnp.maximum(r_y_lo, s_by0)
+        r_y_hi = jnp.minimum(r_y_hi, s_by1)
+        r_w = jnp.maximum(r_x_hi - r_x_lo + 1, 0)
+        r_h = jnp.maximum(r_y_hi - r_y_lo + 1, 0)
+        # Round 5 (delta fold): winding deltas are emitted BY the hit
+        # records (one per (fill segment, tile row), from the dx == 0
+        # record) instead of a second full expansion of ``seg_all`` -- the
+        # round-4 profile's largest coarse stage (del_expand, 1.6 ms at 4K).
+        # Delta rows are always a subset of the fill rect's rows
+        # (ceil(ymin/th) >= floor(ymin/th); identical bbox/viewport clamps),
+        # but the COLUMN range can be empty while deltas exist -- a segment
+        # left of the viewport still swings the winding of tiles to its
+        # right, and a vertical segment on an exact tile boundary has
+        # ceil(xmax/tw) - 1 < floor(xmin/tw).  Guarantee one column for
+        # such segments: the forced records pass none of the exact coverage
+        # tests (PTCL unchanged -- the cull re-filters) and exist only to
+        # carry the per-row crossing emission.  Mirrored in
+        # renderer/capacity.py::count_records.
+        widen = (is_fill_seg & (a != 0.0) & (r_w == 0) & (r_h > 0)
+                 & (s_bx0 <= s_bx1))
+        wcol = jnp.clip(fx_lo, s_bx0, s_bx1)
+        r_x_lo = jnp.where(widen, wcol, r_x_lo)
+        r_x_hi = jnp.where(widen, wcol, r_x_hi)
+        r_w = jnp.where(widen, 1, r_w)
+        # (Valid slots always map to owners with count > 0 by construction,
+        # so seg_valid alone gates.)
+        hit_counts = jnp.where(seg_valid, r_w * r_h, 0)
+        stage_probe("seg_rects", hit_counts)
+
+        hit_excl, hit_incl = _exclusive_cumsum(hit_counts)
+        n_hits = hit_incl[-1]
+        stage_probe("hit_expand", hit_excl)
+        # Per-segment attributes packed into one (S, 26) row matrix;
+        # hit records then ride ONE expansion (ops/expand.py) instead of
+        # a scatter/cummax plus ~15 1-D gathers (the dominant cost of
+        # this pass before packing -- measured, see ROADMAP).
+        seg_flags = (is_fill_seg.astype(jnp.int32)
+                     | (is_stroke_seg.astype(jnp.int32) << 1)
+                     | (is_line_item.astype(jnp.int32) << 2))
+        seg_i32 = jnp.stack(
+            [seg_flags, r_x_lo, r_y_lo, jnp.maximum(r_w, 1), seg_item,
+             s_cand_excl, s_by0, jnp.maximum(s_bw, 1), s_bx0, s_by1,
+             s_bx1],
+            axis=1)                                      # (S, 11)
+        # Per-SEGMENT constants of the division-free fine math (round 5;
+        # cmd_math.py module doc), computed ONCE here -- both hit-record
+        # paths (staged XLA and the fused kernel) gather the SAME words,
+        # and the numpy oracle derives them identically
+        # (cpu_tiler.py::_segments), so the wire stays bitwise
+        # impl-independent.  dot2_det keeps the norm contraction-immune;
+        # degenerate fills carry zeroed m/K (the masked/guard paths read
+        # neither); zero-length strokes carry inv_denom = +inf (the dot
+        # semantic, line_field_sq).
+        lvx = ex - sx
+        lvy = ey - sy
+        s_invd = div_det(f32(1.0), dot2_det(lvx, lvy, _bar), _bar)
+        s_m = div_det(lvx, lvy, _bar)
+        s_K = div_det(-lvy, jnp.abs(lvx), _bar)
+        s_m = jnp.where(jnp.abs(s_m) < jnp.inf, s_m, 0.0)
+        s_K = jnp.where(jnp.abs(s_K) < jnp.inf, s_K, 0.0)
+        seg_all = jnp.concatenate(
+            [jnp.stack([sx, sy, ex, ey, a, b, c, xmn[:, 0], xmn[:, 1],
+                        xmx[:, 0], xmx[:, 1], s_hw], axis=1),
+             jax.lax.bitcast_convert_type(seg_i32, f32),
+             jnp.stack([s_invd, s_m, s_K], axis=1)],
+            axis=1)                                      # (S, 26)
     else:
-        # ONE row gather delivers both endpoints: pair_rows[k] =
-        # (pt_k, pt_{k+1}), p1 from the +1 column, the fill wrap-around
-        # from the carried per-item first point (bit-identical to
-        # points[where(wrap, ptoff, i0+1)] -- the carried word IS
-        # points[ptoff]).  Two separate 2-word-row gathers measured
-        # 5.1 ms at beziers_10k's 203k segments (round-4 profile,
-        # seg_points); row-gather cost is per ROW, so pairing halves it
-        # and the wider row vectorizes better.
-        nxt = jnp.concatenate([scene.points[1:], scene.points[-1:]],
-                              axis=0)
-        pair_rows = jnp.concatenate([scene.points, nxt], axis=1)
-        pr = pair_rows[jnp.clip(i0, 0, np_max)]
-        p0e = pr[:, 0:2]
-        p1e = jnp.where(wrap[:, None], sitem_f[:, 12:14], pr[:, 2:4])
-    # Dead slots zero on BOTH paths so every downstream word (and the
-    # profiler's stage probes) is impl-independent.
-    p0, p1 = _db(jnp.where(seg_valid[:, None], p0e, 0.0),
-                 jnp.where(seg_valid[:, None], p1e, 0.0))
-    stage_probe("seg_points", p0, p1)
-    sx, sy = p0[:, 0], p0[:, 1]
-    ex, ey = p1[:, 0], p1[:, 1]
-    a = ey - sy
-    b = sx - ex
-    c = -(_bar(a * sx) + _bar(b * sy))
-    xmn = jnp.minimum(p0, p1)
-    xmx = jnp.maximum(p0, p1)
-    s_hw = f32(0.5) * sitem_f[:, 9] + f32(0.5)
-    is_fill_seg = seg_valid & s_is_fill_tag
-    is_stroke_seg = seg_valid & ((s_tag == TAG_POLY) | (s_tag == TAG_LINE))
-    stage_probe("seg_derive", a, b, c)
+        # ---- segment stage PRECOMPUTED on host (renderer/segstage.py)
+        # -- bitwise-identical to the derivation above; the arrays were
+        # built once at scene staging, so a static scene's frame skips
+        # the endpoint gathers, line equations, rect solves and the
+        # division-constant selection entirely (round 5; measured 0.7 ms
+        # of the 4K tiger frame, 2.5 ms of beziers_10k).
+        seg_all = sp.seg_all
+        hit_counts = sp.hit_counts
+        hit_excl = sp.hit_excl
+        n_segs = sp.n_segs[0]
+        n_hits = sp.n_hits[0]
+        seg_idx = jnp.arange(max_segments, dtype=jnp.int32)
+        seg_valid = seg_idx < n_segs
+        # Columns the later diag/delta code reads (same word map).
+        a = seg_all[:, 4]
+        xmn = seg_all[:, 7:9]
+        xmx = seg_all[:, 9:11]
+        is_fill_seg = ((jax.lax.bitcast_convert_type(seg_all[:, 12],
+                                                     jnp.int32) & 1)
+                       != 0) & seg_valid
+        stage_probe("seg_expand", seg_all)
+        stage_probe("hit_expand", hit_excl)
 
-    # ---- per-segment emission rects ----------------------------------
-    # Fill: exact solve of the reference's x/y-extent conditions (tile dims
-    # are powers of two so // and f32 / are exact).  Stroke: inflated rect
-    # with +-1 slop (the inflation adds round in f32; the exact per-record
-    # cull re-filters).  Line items: the item bbox rect (the reference
-    # applies no segment-level cull for single lines, :223-247).
-    def _range_x_fill():
-        lo = jnp.floor(xmn[:, 0] / twf).astype(jnp.int32)
-        hi = jnp.ceil(xmx[:, 0] / twf).astype(jnp.int32) - 1
-        return lo, hi
-
-    def _range_y_fill():
-        lo = jnp.floor(xmn[:, 1] / thf).astype(jnp.int32)
-        hi = jnp.floor(xmx[:, 1] / thf).astype(jnp.int32)
-        return lo, hi
-
-    fx_lo, fx_hi = _range_x_fill()
-    fy_lo, fy_hi = _range_y_fill()
-    # Stroke rects: the f32 divisions can be off by an ulp at exact tile
-    # boundaries, so the floor/ceil bound alone could miss an edge tile.
-    # Instead of a blanket +-1 ring (which inflates stroke hits ~2-4x for
-    # short segments), probe the one boundary tile with the SAME f32 cull
-    # expressions the per-record test uses -- the result is exactly the
-    # set of tiles the cull can pass, still a guaranteed superset.
-    def _stroke_range(lo_v, hi_v, dim, step):
-        lo = jnp.floor(lo_v / step).astype(jnp.int32)
-        hi = jnp.ceil(hi_v / step).astype(jnp.int32) - 1
-
-        def passes(t):
-            o = t.astype(f32) * step
-            return ((xmx[:, dim] > o - s_hw)
-                    & (xmn[:, dim] < o + step + s_hw))
-
-        lo = jnp.where(passes(lo - 1), lo - 1, lo)
-        hi = jnp.where(passes(hi + 1), hi + 1, hi)
-        return lo, hi
-
-    st_x_lo, st_x_hi = _stroke_range(xmn[:, 0] - s_hw, xmx[:, 0] + s_hw,
-                                     0, twf)
-    st_y_lo, st_y_hi = _stroke_range(xmn[:, 1] - s_hw, xmx[:, 1] + s_hw,
-                                     1, thf)
-
-    is_line_item = s_tag == TAG_LINE
-    r_x_lo = jnp.where(is_fill_seg, fx_lo,
-                       jnp.where(is_line_item, s_bx0, st_x_lo))
-    r_x_hi = jnp.where(is_fill_seg, fx_hi,
-                       jnp.where(is_line_item, s_bx1, st_x_hi))
-    r_y_lo = jnp.where(is_fill_seg, fy_lo,
-                       jnp.where(is_line_item, s_by0, st_y_lo))
-    r_y_hi = jnp.where(is_fill_seg, fy_hi,
-                       jnp.where(is_line_item, s_by1, st_y_hi))
-    # Clip to the item's bbox rect (the reference's per-tile `hit` gate).
-    r_x_lo = jnp.maximum(r_x_lo, s_bx0)
-    r_x_hi = jnp.minimum(r_x_hi, s_bx1)
-    r_y_lo = jnp.maximum(r_y_lo, s_by0)
-    r_y_hi = jnp.minimum(r_y_hi, s_by1)
-    r_w = jnp.maximum(r_x_hi - r_x_lo + 1, 0)
-    r_h = jnp.maximum(r_y_hi - r_y_lo + 1, 0)
-    # Round 5 (delta fold): winding deltas are emitted BY the hit
-    # records (one per (fill segment, tile row), from the dx == 0
-    # record) instead of a second full expansion of ``seg_all`` -- the
-    # round-4 profile's largest coarse stage (del_expand, 1.6 ms at 4K).
-    # Delta rows are always a subset of the fill rect's rows
-    # (ceil(ymin/th) >= floor(ymin/th); identical bbox/viewport clamps),
-    # but the COLUMN range can be empty while deltas exist -- a segment
-    # left of the viewport still swings the winding of tiles to its
-    # right, and a vertical segment on an exact tile boundary has
-    # ceil(xmax/tw) - 1 < floor(xmin/tw).  Guarantee one column for
-    # such segments: the forced records pass none of the exact coverage
-    # tests (PTCL unchanged -- the cull re-filters) and exist only to
-    # carry the per-row crossing emission.  Mirrored in
-    # renderer/capacity.py::count_records.
-    widen = (is_fill_seg & (a != 0.0) & (r_w == 0) & (r_h > 0)
-             & (s_bx0 <= s_bx1))
-    wcol = jnp.clip(fx_lo, s_bx0, s_bx1)
-    r_x_lo = jnp.where(widen, wcol, r_x_lo)
-    r_x_hi = jnp.where(widen, wcol, r_x_hi)
-    r_w = jnp.where(widen, 1, r_w)
-    # (Valid slots always map to owners with count > 0 by construction,
-    # so seg_valid alone gates.)
-    hit_counts = jnp.where(seg_valid, r_w * r_h, 0)
-    stage_probe("seg_rects", hit_counts)
-
-    hit_excl, hit_incl = _exclusive_cumsum(hit_counts)
-    n_hits = hit_incl[-1]
-    stage_probe("hit_expand", hit_excl)
-
-    # Per-segment attributes packed into one (S, 24) row matrix; hit
-    # records then ride ONE expansion (ops/expand.py) instead of a
-    # scatter/cummax plus ~15 1-D gathers (the dominant cost of this
-    # pass before packing -- measured, see ROADMAP).
-    seg_flags = (is_fill_seg.astype(jnp.int32)
-                 | (is_stroke_seg.astype(jnp.int32) << 1)
-                 | (is_line_item.astype(jnp.int32) << 2))
-    seg_i32 = jnp.stack(
-        [seg_flags, r_x_lo, r_y_lo, jnp.maximum(r_w, 1), seg_item,
-         s_cand_excl, s_by0, jnp.maximum(s_bw, 1), s_bx0, s_by1, s_bx1],
-        axis=1)                                          # (S, 11)
-    # Per-SEGMENT constants of the division-free fine math (round 5;
-    # cmd_math.py module doc), computed ONCE here -- both hit-record
-    # paths (staged XLA and the fused kernel) gather the SAME words, and
-    # the numpy oracle derives them identically (cpu_tiler.py::_segments),
-    # so the wire stays bitwise impl-independent.  dot2_det keeps the
-    # norm contraction-immune; degenerate fills carry zeroed m/K (the
-    # masked/guard paths read neither); zero-length strokes carry
-    # inv_denom = +inf (the dot semantic, line_field_sq).
-    lvx = ex - sx
-    lvy = ey - sy
-    s_invd = div_det(f32(1.0), dot2_det(lvx, lvy, _bar), _bar)
-    s_m = div_det(lvx, lvy, _bar)
-    s_K = div_det(-lvy, jnp.abs(lvx), _bar)
-    s_m = jnp.where(jnp.abs(s_m) < jnp.inf, s_m, 0.0)
-    s_K = jnp.where(jnp.abs(s_K) < jnp.inf, s_K, 0.0)
-    seg_all = jnp.concatenate(
-        [jnp.stack([sx, sy, ex, ey, a, b, c, xmn[:, 0], xmn[:, 1],
-                    xmx[:, 0], xmx[:, 1], s_hw], axis=1),
-         jax.lax.bitcast_convert_type(seg_i32, f32),
-         jnp.stack([s_invd, s_m, s_K], axis=1)],
-        axis=1)                                          # (S, 26)
     hit_idx = jnp.arange(max_hits, dtype=jnp.int32)
     hit_valid = hit_idx < n_hits
     if use_hitfuse:

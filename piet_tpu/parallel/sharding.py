@@ -76,6 +76,9 @@ def make_sharded_render_fn(config: RenderConfig, mesh: Mesh,
         k = rows // interleave
 
         def shard_fn(scene: DeviceScene):
+            # The precomputed segment stage is whole-viewport (row0=0);
+            # shard-local windows must derive on device.
+            scene = scene._replace(seg_pre=None)
             d = jax.lax.axis_index(axis)
             block_ids = d + jnp.arange(interleave, dtype=jnp.int32) * ndev
 
@@ -98,6 +101,7 @@ def make_sharded_render_fn(config: RenderConfig, mesh: Mesh,
         return jax.jit(sharded)
 
     def shard_fn(scene: DeviceScene):
+        scene = scene._replace(seg_pre=None)  # shard-local (see above)
         row0 = jax.lax.axis_index(axis) * rows
         img, stats = render_slab(scene, config, tiles_y=rows, row0=row0,
                                  fine_impl=impl)
@@ -137,7 +141,7 @@ class ShardedRenderer:
         self.last_stats: Optional[Dict] = None
 
     def render_u32(self, scene) -> jax.Array:
-        dev = prepare_scene(scene, self.config)
+        dev = prepare_scene(scene, self.config, seg_pre=False)
         dev = jax.device_put(dev, self._scene_sharding)
         img, stats = self._render(dev)
         self.last_stats = {k: np.asarray(v) for k, v in stats.items()}

@@ -35,11 +35,17 @@ class SceneCapacityError(ValueError):
     pass
 
 
-def prepare_scene(scene: Scene, config: RenderConfig) -> DeviceScene:
+def prepare_scene(scene: Scene, config: RenderConfig,
+                  seg_pre: bool = True) -> DeviceScene:
     """Pad an SoA scene into device arrays (capacity-bucketed, so the
     compiled executable is reused across scenes/frames -- the reference
     re-encodes into a fixed 16 MiB buffer for the same reason,
-    PietRenderer.m:52-53)."""
+    PietRenderer.m:52-53).
+
+    ``seg_pre=True`` also stages the host-precomputed segment stage
+    (renderer/segstage.py) -- bitwise-identical to the device derivation
+    and skipped per frame; pass False for paths that mutate geometry on
+    device (animation) or render shard-local windows."""
     ni, np_ = scene.n_items, scene.n_points
     if ni > config.max_items:
         raise SceneCapacityError(f"{ni} items > max_items {config.max_items}")
@@ -52,10 +58,16 @@ def prepare_scene(scene: Scene, config: RenderConfig) -> DeviceScene:
         out[:arr.shape[0]] = arr
         return out
 
+    pre = None
+    if seg_pre:
+        from .segstage import build_seg_pre
+        pre = jax.tree.map(jnp.asarray, build_seg_pre(scene, config))
+
     colors_lin = decode_color_linear(scene.colors)  # host-side decode: the
     # CPU oracle and device kernels must agree bit-for-bit on operand values
     # (pow differs across backends; see tests/test_fine.py).
     return DeviceScene(
+        seg_pre=pre,
         tags=jnp.asarray(pad(scene.tags, config.max_items)),
         colors_u32=jnp.asarray(pad(scene.colors, config.max_items)),
         colors_lin=jnp.asarray(pad(colors_lin, config.max_items)),
@@ -486,6 +498,7 @@ class Renderer:
             out[:arr.shape[0]] = arr
             return out
 
+        geom_dirty = False
         for f in fields:
             if f not in self._DYNAMIC_FIELDS:
                 raise ValueError(f"field {f!r} is not restageable")
@@ -502,6 +515,14 @@ class Renderer:
             else:
                 dev = dev._replace(**{f: jnp.asarray(
                     pad(getattr(scene, f), cfg.max_items))})
+            geom_dirty |= f in ("points", "bboxes", "widths")
+        if geom_dirty and dev.seg_pre is not None:
+            # The precomputed segment stage depends on geometry: rebuild
+            # it for the updated scene (host; the staged TOPOLOGY is
+            # unchanged by contract, see the docstring).
+            from .segstage import build_seg_pre
+            dev = dev._replace(seg_pre=jax.tree.map(
+                jnp.asarray, build_seg_pre(scene, cfg)))
         self._staged_dev = dev
         img, stats = self._render(dev)
         self.last_stats = jax.tree.map(lambda x: np.asarray(x), stats)

@@ -223,7 +223,7 @@ def transform_device_scene(dev, ab: AffineBase, mats):
     grads = g.at[:, 0].set(g0).at[:, 1].set(g1).at[:, 2].set(g2)
 
     return dev._replace(points=points, bboxes=bboxes, clips=clips,
-                        grads=grads)
+                        grads=grads, seg_pre=None)
 
 
 def host_transform_scene(scene, m):
@@ -276,7 +276,7 @@ def make_affine_render_fn(config, scene, mats_fn: Callable,
     """
     from ..renderer.renderer import make_render_fn, prepare_scene
 
-    base = prepare_scene(scene, config)
+    base = prepare_scene(scene, config, seg_pre=False)
     ab = build_base(scene, config)
     render = make_render_fn(config, interpret=interpret,
                             fine_impl=fine_impl)

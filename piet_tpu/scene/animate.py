@@ -147,7 +147,8 @@ def animate_device_scene(base, p: AnimatedParams, t):
     colors_lin = base.colors_lin.at[:n, 3].set(alpha_lin)
 
     return base._replace(points=points, bboxes=bboxes,
-                         colors_u32=colors_u32, colors_lin=colors_lin)
+                         colors_u32=colors_u32, colors_lin=colors_lin,
+                         seg_pre=None)
 
 
 def make_animated_render_fn(config, *, size: int = 1024, n: int = 200,
@@ -159,7 +160,7 @@ def make_animated_render_fn(config, *, size: int = 1024, n: int = 200,
     from ..renderer.renderer import (make_render_fn, prepare_scene)
 
     tmpl = template_scene(size=size, n=n, seed=seed)
-    base = prepare_scene(tmpl, config)
+    base = prepare_scene(tmpl, config, seg_pre=False)
     params = host_params(size=size, n=n, seed=seed)
     render = make_render_fn(config, interpret=interpret,
                             fine_impl=fine_impl)

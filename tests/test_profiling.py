@@ -27,8 +27,11 @@ def _tiny():
 
 
 def test_probes_cover_stage_order():
+    # The device-DERIVATION path carries the full probe set; the
+    # precomputed segment stage (seg_pre) legitimately skips the seg
+    # stages, so probe against the derivation.
     scene, cfg = _tiny()
-    dev = prepare_scene(scene, cfg)
+    dev = prepare_scene(scene, cfg, seg_pre=False)
     out = coarse_rasterize(
         dev, tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
         tile_w=cfg.tile_width, tile_h=cfg.tile_height,

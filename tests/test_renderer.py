@@ -169,6 +169,10 @@ def test_packed_staging_matches_prepare_scene():
     got = jax.jit(lambda b: unpack_scene(b, cfg))(
         jnp.asarray(pack_scene(scene, cfg)))
     for name in ref._fields:
+        if name == "seg_pre":
+            # The packed single-buffer path carries no precomputed
+            # segment stage (it device-derives); prepare_scene does.
+            continue
         np.testing.assert_array_equal(
             np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
             err_msg=name)

@@ -137,9 +137,9 @@ def _compile_one(name, sh) -> None:
 
     if kind == "render":
         dev = prepare_scene(scene, cfg)
-        abs_scene = DeviceScene(*(
-            jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
-            for x in dev))
+        abs_scene = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh),
+            dev)
         # fine_impl pinned to what _resolve_fine_impl gives ON the chip
         # ("auto" would resolve to "xla" here, where the backend is cpu).
         fn = make_render_fn(cfg, fine_impl="pallas")
