@@ -583,6 +583,8 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
              jax.lax.bitcast_convert_type(seg_i32, f32),
              jnp.stack([s_invd, s_m, s_K], axis=1)],
             axis=1)                                      # (S, 26)
+        seg_rows = jnp.concatenate(
+            [seg_all, i2f(hit_excl)[:, None]], axis=1)   # (S, 27)
     else:
         # ---- segment stage PRECOMPUTED on host (renderer/segstage.py)
         # -- bitwise-identical to the derivation above; the arrays were
@@ -590,7 +592,11 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         # the endpoint gathers, line equations, rect solves and the
         # division-constant selection entirely (round 5; measured 0.7 ms
         # of the 4K tiger frame, 2.5 ms of beziers_10k).
-        seg_all = sp.seg_all
+        # uint32 -> f32 bitcast: the table ships as bit patterns
+        # (denormal-pattern f32 words were flushed somewhere inside the
+        # fused TPU graph when uploaded as f32 -- see SegPre docstring).
+        seg_rows = jax.lax.bitcast_convert_type(sp.seg_rows, f32)
+        seg_all = seg_rows[:, :26]
         hit_counts = sp.hit_counts
         hit_excl = sp.hit_excl
         n_segs = sp.n_segs[0]
@@ -616,7 +622,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         # test / assembly chain below (bit-identical either way,
         # tests/test_hitfuse.py).
         fused = hit_records_fused(
-            jnp.concatenate([seg_all, i2f(hit_excl)[:, None]], axis=1),
+            seg_rows,
             hit_counts, hit_excl, n_hits, row0, max_hits,
             tile_w=tile_w, tile_h=tile_h, tiles_x=tiles_x, stride=stride,
             interpret=hitfuse == "pallas_interpret")
@@ -632,9 +638,7 @@ def coarse_rasterize(scene: DeviceScene, *, tiles_x: int, tiles_y: int,
         cand_emit = ksum(fused["n_cmds"][:, None], h_cand, klo, khi,
                          max_candidates)[:, 0].astype(jnp.int32)
     else:
-        ha = _db(exp_rows(
-            jnp.concatenate([seg_all, i2f(hit_excl)[:, None]], axis=1),
-            hit_counts, max_hits, hit_excl))
+        ha = _db(exp_rows(seg_rows, hit_counts, max_hits, hit_excl))
         hf = ha[:, :12]
         hi = jax.lax.bitcast_convert_type(ha[:, 12:23], jnp.int32)
         h_invd, h_m, h_K = ha[:, 23], ha[:, 24], ha[:, 25]

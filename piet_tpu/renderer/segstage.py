@@ -40,8 +40,18 @@ F = np.float32
 class SegPre(NamedTuple):
     """Precomputed segment-stage arrays (host numpy; staged to device by
     renderer.prepare_scene).  Shapes are capacity-padded; dead slots are
-    all-zero rows, matching the device expansion contract."""
-    seg_all: np.ndarray     # (max_segments, 26) f32 -- ops/coarse.py rows
+    all-zero rows, matching the device expansion contract.
+
+    ``seg_rows`` ships as UINT32 bit patterns and is bitcast to f32 once
+    on device: many of its words are int32 payloads whose f32 bit
+    patterns are denormals, and shipping them as f32 exposed them to a
+    backend path that flushed them inside the fused coarse graph
+    (measured on chip, round 5: the appended hit_excl word read back as
+    zero, walking every record's tile decode off its segment; the same
+    jaxpr was bitwise-correct on CPU).  Integer transfers and bitcasts
+    cannot flush."""
+    seg_rows: np.ndarray    # (max_segments, 27) uint32 -- bit patterns of
+                            # ops/coarse.py's seg_all + the hit_excl word
     hit_counts: np.ndarray  # (max_segments,) int32
     hit_excl: np.ndarray    # (max_segments,) int32 exclusive cumsum
     n_segs: np.ndarray      # (1,) int32
@@ -202,8 +212,11 @@ def build_seg_pre(scene, config, row0: int = 0) -> SegPre:
     hit_excl = (np.cumsum(hc64) - hc64).astype(np.int32)
     n_hits = int(hc64.sum())
 
+    seg_rows = np.zeros((S, 27), np.uint32)
+    seg_rows[:, :26] = seg_all.view(np.uint32)
+    seg_rows[:, 26] = hit_excl.view(np.uint32)
     return SegPre(
-        seg_all=seg_all,
+        seg_rows=seg_rows,
         hit_counts=hit_counts,
         hit_excl=hit_excl,
         n_segs=np.array([n_segs], np.int32),
